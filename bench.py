@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark: [[144,12,12]] sliding-window BP+OSD throughput on one chip.
+
+Reference baseline (BASELINE.md): 24.6 shots/s single-thread CPU for the
+same workload (p=0.004, 12 rounds, W=3, F=1, BP 200 iters + OSD-CS-10,
+Sliding Window OSD.ipynb cell 2).
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": ..., "unit": "shots/s", "vs_baseline": ...}
+Progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SHOTS_PER_SEC = 24.6  # reference CPU single-stream
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny CPU sanity run")
+    ap.add_argument("--shots", type=int, default=None)
+    ap.add_argument("--max-iter", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=2024)
+    args = ap.parse_args()
+
+    import jax
+
+    from slidingwindowdecoder_tpu.circuits import sample_dem_numpy
+    from slidingwindowdecoder_tpu.decoders import BPOSD
+    from slidingwindowdecoder_tpu.harness.circuit_level import (
+        build_bb_window_experiment,
+    )
+    from slidingwindowdecoder_tpu.windows.pipeline import (
+        CachingDecoderFactory,
+        decode_sliding_window,
+        evaluate_logical_errors,
+    )
+
+    if args.smoke:
+        N, num_repeat, W, shots, max_iter, osd_order = 72, 3, 2, 128, 30, 2
+    else:
+        N, num_repeat, W, shots, max_iter, osd_order = (
+            144,
+            12,
+            3,
+            args.shots or 4096,
+            args.max_iter,
+            10,
+        )
+    p = 0.004
+    log(f"devices: {jax.devices()}")
+    log(f"building [[{N}]] x{num_repeat} rounds W={W} experiment ...")
+    t0 = time.perf_counter()
+    code, circuit, dem, plan = build_bb_window_experiment(
+        N, p, num_repeat, W, 1, method=1
+    )
+    log(f"DEM {dem.chk.shape}, {plan.num_windows} windows "
+        f"({time.perf_counter() - t0:.1f}s)")
+
+    rng = np.random.default_rng(args.seed)
+    det, obs, _ = sample_dem_numpy(dem, shots, rng)
+
+    factory = CachingDecoderFactory(
+        lambda spec: BPOSD(
+            spec.mat,
+            spec.prior,
+            max_iter=max_iter,
+            ms_scaling_factor=1.0,
+            osd_method="osd_cs",
+            osd_order=osd_order,
+            osd_bucket=512,
+        )
+    )
+
+    # warmup on a small slice: compiles every kernel shape
+    log("warmup (compiling kernels) ...")
+    t0 = time.perf_counter()
+    warm = min(64, shots)
+    decode_sliding_window(
+        plan, det[:warm], factory, verbose=False, collect_window_stats=False
+    )
+    log(f"warmup done in {time.perf_counter() - t0:.1f}s")
+
+    log(f"timed run: {shots} shots ...")
+    t0 = time.perf_counter()
+    out = decode_sliding_window(
+        plan, det, factory, verbose=False, collect_window_stats=False
+    )
+    dt = time.perf_counter() - t0
+    ev = evaluate_logical_errors(plan, det, obs, out["total_e_hat"])
+    shots_per_sec = shots / dt
+    ler = ev["num_failed"] / shots
+    ler_round = 1 - (1 - ler) ** (1 / num_repeat)
+    log(
+        f"decoded {shots} shots in {dt:.2f}s -> {shots_per_sec:.1f} shots/s; "
+        f"failed {ev['num_failed']} (LER/r {ler_round:.3e}; "
+        f"reference 2.14e-3 at these settings)"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "decoded shots/s/chip, [[144,12,12]] W=3 SW BP+OSD-CS-10",
+                "value": round(shots_per_sec, 2),
+                "unit": "shots/s",
+                "vs_baseline": round(shots_per_sec / BASELINE_SHOTS_PER_SEC, 2),
+                "ler_per_round": ler_round,
+                "num_failed": ev["num_failed"],
+                "shots": shots,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,2 +1,4 @@
 from .base import DecodeResult
 from .bposd import BPOSD
+from .bpgd import BPGD
+from .gdg import GDG

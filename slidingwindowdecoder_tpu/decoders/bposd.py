@@ -54,6 +54,7 @@ class BPOSD:
         osd_order: int = 10,
         reliability: str = "last",
         clip: float = 50.0,
+        osd_bucket: int = 512,
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -82,6 +83,7 @@ class BPOSD:
             raise ValueError(f"unknown osd_method {osd_method!r}")
         self.osd_method = method
         self.osd_order = int(osd_order)
+        self.osd_bucket = int(osd_bucket)
 
         self.graph = compile_graph(pcm)
         self.garr = graph_device_arrays(self.graph)
@@ -150,19 +152,25 @@ class BPOSD:
             else:
                 rel = hist[..., (self.max_iter - 1) % 4]
             todo = np.nonzero(~converged)[0]
-            Bo = pad_pow2(len(todo))
-            synds_o = np.zeros((Bo, self.m), dtype=np.uint8)
-            rel_o = np.zeros((Bo, self.n), dtype=np.float32)
-            synds_o[: len(todo)] = syndromes[todo]
-            rel_o[: len(todo)] = rel[todo]
-            osd = self._osd_stage(jnp.asarray(synds_o), jnp.asarray(rel_o))
-            sol = np.asarray(osd["solution"])[: len(todo)].astype(np.uint8)
-            pm = np.asarray(osd["min_pm"])[: len(todo)]
-            error[todo] = sol
-            min_pm[todo] = pm
-            osd_applied[todo] = True
             osd0_full = error.copy()
-            osd0_full[todo] = np.asarray(osd["osd0"])[: len(todo)].astype(np.uint8)
+            # fixed-size buckets: one compiled OSD shape regardless of how
+            # many shots failed BP this batch
+            bucket = min(self.osd_bucket, pad_pow2(len(todo)))
+            for lo in range(0, len(todo), bucket):
+                chunk = todo[lo : lo + bucket]
+                synds_o = np.zeros((bucket, self.m), dtype=np.uint8)
+                rel_o = np.zeros((bucket, self.n), dtype=np.float32)
+                synds_o[: len(chunk)] = syndromes[chunk]
+                rel_o[: len(chunk)] = rel[chunk]
+                osd = self._osd_stage(jnp.asarray(synds_o), jnp.asarray(rel_o))
+                error[chunk] = np.asarray(osd["solution"])[: len(chunk)].astype(
+                    np.uint8
+                )
+                min_pm[chunk] = np.asarray(osd["min_pm"])[: len(chunk)]
+                osd0_full[chunk] = np.asarray(osd["osd0"])[: len(chunk)].astype(
+                    np.uint8
+                )
+            osd_applied[todo] = True
 
         return DecodeResult(
             error=error,

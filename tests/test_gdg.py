@@ -1,0 +1,154 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from slidingwindowdecoder_tpu.codes import bb_code_by_n
+from slidingwindowdecoder_tpu.decoders import BPGD, GDG
+from slidingwindowdecoder_tpu.decoders.gdg import build_branch_tables
+from slidingwindowdecoder_tpu.graphs.tanner import compile_graph, graph_device_arrays
+from slidingwindowdecoder_tpu.ops.decimation import (
+    init_decimation_state,
+    peel,
+    vn_set_values,
+)
+
+
+def test_branch_tables():
+    t = build_branch_tables(25, 3, 10, 10, 10)
+    # 1 main + 7 tree + 7 tree-side + 7 side = reference max_guess + 1
+    assert t["num_branches"] == 1 + 7 + 7 + 7
+    assert t["D_max"] == 25
+    # main never flips, never reinits, thresholds -3 / -16 then -12
+    assert not t["flip_now"][0].any()
+    assert not t["reinit"][0].any()
+    assert t["A"][0, 0] == -3.0 and t["A_sum"][0, 0] == -16.0
+    assert t["A_sum"][0, 5] == -12.0
+    # tree branch id=4 (bits 100): flips at depth 0, side thresholds after
+    b = 4  # tree ids are 1..7 at rows 1..7; id 4 -> row 4
+    assert t["flip_now"][b, 0]
+    assert t["A"][b, 0] == -3.0  # select at flip depth still main thresholds
+    assert t["A"][b, 1] == 0.0 and t["A_sum"][b, 1] == -10.0
+    # side branches flip exactly once, at depths 3..9, and reinit there
+    side_rows = range(15, 22)
+    for j, r in enumerate(side_rows):
+        d = 3 + j
+        assert t["flip_now"][r].sum() == 1 and t["flip_now"][r, d]
+        assert t["reinit"][r, d]
+        assert t["budget"][r] == d + 1 + 10
+
+
+def test_vn_set_and_peel_repetition_chain():
+    # 3-bit repetition code: deciding bit 0 should peel the whole chain
+    H = np.array([[1, 1, 0], [0, 1, 1]], dtype=np.uint8)
+    garr = graph_device_arrays(compile_graph(H))
+    err = np.array([[1, 1, 1]], dtype=np.uint8)
+    synd = jnp.asarray((err @ H.T) % 2)  # [0, 0]
+    vn, cn, cd, dead = init_decimation_state(garr, synd)
+    set_mask = jnp.asarray([[True, False, False]])
+    vals = jnp.asarray([[1, 0, 0]], dtype=jnp.int8)
+    vn, cn, cd, dead = vn_set_values(garr, vn, cn, cd, dead, set_mask, vals)
+    vn, cn, cd, dead = peel(garr, vn, cn, cd, dead)
+    assert not bool(dead[0])
+    np.testing.assert_array_equal(np.asarray(vn[0]), [1, 1, 1])
+    # all checks cleared
+    assert (np.asarray(cn[0]) == -1).all()
+
+
+def test_peel_contradiction():
+    # force bit 0 of an even-parity pair to disagree with the syndrome
+    H = np.array([[1, 1]], dtype=np.uint8)
+    garr = graph_device_arrays(compile_graph(H))
+    synd = jnp.asarray([[1]])
+    vn, cn, cd, dead = init_decimation_state(garr, synd)
+    # decide both bits 0 -> check has parity 1 with degree 0: contradiction
+    vn, cn, cd, dead = vn_set_values(
+        garr, vn, cn, cd, dead,
+        jnp.asarray([[True, True]]), jnp.zeros((1, 2), jnp.int8),
+    )
+    assert bool(dead[0])
+
+
+@pytest.fixture(scope="module")
+def bb72():
+    code, _, _ = bb_code_by_n(72)
+    return code
+
+
+def test_gdg_decodes_code_capacity(bb72, rng):
+    # reference code-capacity parameterization (simulation.py:66-82):
+    # scaling factor 0.625 breaks the min-sum tie degeneracy of uniform
+    # priors; low_error_mode disables aggressive decimation
+    p = 0.05
+    dec = GDG(
+        bb72.hx,
+        np.full(bb72.N, p),
+        max_iter=24,
+        ms_scaling_factor=0.625,
+        gdg_factor=0.625,
+        max_iter_per_step=6,
+        max_step=40,
+        max_tree_depth=3,
+        max_side_depth=10,
+        max_tree_branch_step=20,
+        max_side_branch_step=20,
+        new_n=bb72.N,
+        low_error_mode=True,
+        ensemble_bucket=16,
+    )
+    shots = 48
+    errs = (rng.random((shots, bb72.N)) < p).astype(np.uint8)
+    synds = (errs @ bb72.hx.T) % 2
+    res = dec.decode_batch(synds)
+    # converged shots must reproduce their syndrome
+    resid = (res.error.astype(int) @ bb72.hx.T + synds) % 2
+    assert (resid[res.converged] == 0).all()
+    # GDG converges essentially always at this p with reference params
+    assert res.converged.mean() > 0.9
+    # logical error rate small, path metrics near the true error weight
+    e_diff = (res.error + errs) % 2
+    logical = ((e_diff @ bb72.hz_perp.T) % 2).any(axis=1)
+    assert logical.mean() < 0.15
+    assert res.min_pm[res.converged].mean() < 20.0
+
+
+def test_bpgd_decodes_code_capacity(bb72, rng):
+    p = 0.04
+    dec = BPGD(
+        bb72.hx,
+        np.full(bb72.N, p),
+        max_iter=24,
+        max_step=20,
+        new_n=bb72.N,
+        bucket=16,
+    )
+    shots = 48
+    errs = (rng.random((shots, bb72.N)) < p).astype(np.uint8)
+    synds = (errs @ bb72.hx.T) % 2
+    res = dec.decode_batch(synds)
+    resid = (res.error.astype(int) @ bb72.hx.T + synds) % 2
+    assert (resid[res.converged] == 0).all()
+    assert res.converged.mean() > 0.6
+
+
+def test_gdg_beats_plain_bp_convergence(bb72, rng):
+    # the point of GDG: it converges where plain BP fails
+    p = 0.06
+    from slidingwindowdecoder_tpu.decoders import BPOSD
+
+    shots = 64
+    errs = (rng.random((shots, bb72.N)) < p).astype(np.uint8)
+    synds = (errs @ bb72.hx.T) % 2
+    bp = BPOSD(
+        bb72.hx, np.full(bb72.N, p), max_iter=24, ms_scaling_factor=0.625,
+        osd_method="off",
+    )
+    gdg = GDG(
+        bb72.hx, np.full(bb72.N, p), max_iter=24, ms_scaling_factor=0.625,
+        gdg_factor=0.625, max_step=20, max_tree_depth=2, max_side_depth=6,
+        new_n=bb72.N, low_error_mode=True, ensemble_bucket=16,
+    )
+    r_bp = bp.decode_batch(synds)
+    r_gdg = gdg.decode_batch(synds)
+    assert r_gdg.converged.sum() > r_bp.converged.sum()
