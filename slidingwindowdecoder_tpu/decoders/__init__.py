@@ -2,3 +2,4 @@ from .base import DecodeResult
 from .bposd import BPOSD
 from .bpgd import BPGD
 from .gdg import GDG
+from .osd_window import OSDWindow

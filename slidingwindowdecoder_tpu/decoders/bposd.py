@@ -3,21 +3,32 @@
 The TPU-native counterpart of the reference's workhorse ``BpOsdDecoder``
 (Roffe's ldpc package, driven at osd.py:142-150 and simulation.py:39-47):
 normalized min-sum BP to ``max_iter``, then OSD-0 / OSD-E / OSD-CS
-post-processing on the shots BP failed to converge — batched-first, with
-host-side compaction so the (much heavier) elimination kernel only runs on
-the non-converged fraction of the batch.
+post-processing on the shots BP failed to converge.
+
+Throughput structure (this is the hot path of the whole framework):
+
+- *Device-resident*: ``decode_batch_device`` consumes and produces device
+  arrays so the sliding-window pipeline never round-trips shot-sized data
+  through the host; only tiny convergence bitmaps come back to drive
+  compaction.
+- *Two-phase BP with compaction*: the reference decodes shot-at-a-time, so
+  its per-shot cost is the per-shot iteration count; a lockstep batch would
+  pay ``max_iter`` for everyone. Phase A runs a short budget on the full
+  batch (most shots converge in a few iterations); survivors are compacted
+  into fixed-size buckets that run the remaining budget — restoring
+  reference-equivalent results (same messages, continued) at near
+  reference-average cost.
+- *OSD only on the non-converged bucket* with a single compiled shape.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..graphs.tanner import compile_graph, graph_device_arrays
-from ..ops.bp import decode_bp
+from ..ops.bp import bp_init_messages, bp_run, fresh_bp_state
 from ..ops.gf2_solve import (
     gf2_rank_packed,
     osd_candidate_patterns,
@@ -33,14 +44,14 @@ class BPOSD:
     Args:
       pcm: [m, n] binary parity-check matrix (dense numpy).
       channel_probs: [n] prior error probabilities.
-      max_iter: BP iterations (reference default 100 / osd.py uses 200).
+      max_iter: total BP iterations (reference default 100 / osd.py uses 200).
       ms_scaling_factor: min-sum normalization alpha.
-      osd_method: "osd_0" | "osd_e" | "osd_cs" (case-insensitive; -1/"off"
-        disables OSD, BP alone).
+      osd_method: "osd_0" | "osd_e" | "osd_cs" ("off" disables OSD).
       osd_order: search depth (OSD-CS default 10, as in osd.py:149).
       reliability: "last" orders columns by the final BP posterior (ldpc
         package behavior); "history_sum" uses the 4-iteration posterior sum
         (osd_window behavior, osd_window.pyx:174-176).
+      phase_a_iters: BP iterations run on the full batch before compaction.
     """
 
     def __init__(
@@ -55,6 +66,7 @@ class BPOSD:
         reliability: str = "last",
         clip: float = 50.0,
         osd_bucket: int = 512,
+        phase_a_iters: int | None = 24,
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -69,6 +81,10 @@ class BPOSD:
         if reliability not in ("last", "history_sum"):
             raise ValueError("reliability must be 'last' or 'history_sum'")
         self.reliability = reliability
+        if phase_a_iters is None or phase_a_iters >= self.max_iter:
+            self.phase_iters = (self.max_iter, 0)
+        else:
+            self.phase_iters = (int(phase_a_iters), self.max_iter - int(phase_a_iters))
 
         method = str(osd_method).lower()
         if method in ("osd_0", "osd0", "0"):
@@ -105,80 +121,133 @@ class BPOSD:
 
     # -- device stages -------------------------------------------------------
 
-    def _bp_stage(self, synds: jnp.ndarray):
-        return decode_bp(
+    def _run_bp(self, mv, synds, vn_state, cn_state, history, error, done, iters,
+                num_iter):
+        return bp_run(
             self.garr,
+            mv,
             self._llr_dev,
             synds,
-            num_iter=self.max_iter,
+            vn_state,
+            cn_state,
+            history,
+            error,
+            done,
+            iters,
+            num_iter=num_iter,
             alpha=self.alpha,
             clip=self.clip,
         )
 
-    def _osd_stage(self, synds: jnp.ndarray, reliability: jnp.ndarray):
-        return osd_decode(
-            self.H_words,
-            synds,
-            reliability,
-            self._llr_dev,
-            self.patterns,
-            m=self.m,
-            n=self.n,
-            rank=self.rank,
-            k=self.k,
+    def _reliability(self, history, total_iters: int):
+        if self.reliability == "history_sum":
+            return jnp.sum(history, axis=-1)
+        return history[..., (total_iters - 1) % 4]
+
+    def decode_batch_device(self, synds):
+        """Fully device-side decode. ``synds``: [B, m] device array.
+
+        Returns dict of device arrays: error [B, n] uint8, converged [B]
+        bool, iterations [B] int32, min_pm [B] f32.
+        """
+        B = synds.shape[0]
+        n = self.n
+        vn_state = jnp.full((B, n), -1, jnp.int8)
+        cn_state = synds.astype(jnp.int8)
+        mv = bp_init_messages(self.garr, self._llr_dev, B)
+        history, error, done, iters = fresh_bp_state(self.garr, B)
+
+        it_a, it_b = self.phase_iters
+        mv, history, error, done, iters = self._run_bp(
+            mv, synds, vn_state, cn_state, history, error, done, iters, it_a
         )
 
-    # -- public API ----------------------------------------------------------
+        conv_host = np.asarray(done)  # tiny [B] transfer drives compaction
+        todo = np.nonzero(~conv_host)[0]
 
-    def decode_batch(self, syndromes) -> DecodeResult:
-        syndromes, _ = as_batch(syndromes, self.m)
-        B = syndromes.shape[0]
-        Bp = pad_pow2(B)
-        synds = np.zeros((Bp, self.m), dtype=np.uint8)
-        synds[:B] = syndromes
-        out = self._bp_stage(jnp.asarray(synds))
+        def bucket_indices(chunk, bucket):
+            # gather clamps padding to a real row; scatter drops it (index B)
+            g = np.full(bucket, int(chunk[0]), dtype=np.int32)
+            g[: len(chunk)] = chunk
+            s = np.full(bucket, B, dtype=np.int32)
+            s[: len(chunk)] = chunk
+            return jnp.asarray(g), jnp.asarray(s)
 
-        converged = np.asarray(out["converged"])[:B]
-        error = np.asarray(out["error"]).astype(np.uint8)[:B]
-        iters = np.asarray(out["iterations"])[:B]
-        min_pm = (error * self.llr[None, :]).sum(axis=1).astype(np.float32)
-        osd0_full = None
+        if it_b > 0 and len(todo):
+            bucket = min(pad_pow2(len(todo), floor=32), max(32, self.osd_bucket))
+            for lo in range(0, len(todo), bucket):
+                chunk = todo[lo : lo + bucket]
+                g_idx, s_idx = bucket_indices(chunk, bucket)
+                sub = lambda a: jnp.take(a, g_idx, axis=0)
+                mv_c, hist_c, err_c, done_c, it_c = self._run_bp(
+                    sub(mv),
+                    sub(synds),
+                    sub(vn_state),
+                    sub(cn_state),
+                    sub(history),
+                    sub(error),
+                    jnp.zeros((bucket,), bool),
+                    sub(iters),
+                    it_b,
+                )
+                upd = lambda full, part: full.at[s_idx].set(part, mode="drop")
+                mv = upd(mv, mv_c)
+                history = upd(history, hist_c)
+                error = upd(error, err_c)
+                iters = upd(iters, it_c)
+                done = upd(done, done_c)
+            conv_host = np.asarray(done)
+            todo = np.nonzero(~conv_host)[0]
+
+        error = error.astype(jnp.uint8)
+        min_pm = jnp.sum(self._llr_dev[None, :] * (error == 1), axis=-1)
         osd_applied = np.zeros(B, dtype=bool)
 
-        if self.osd_method is not None and not converged.all():
-            hist = np.asarray(out["history"])[:B]
-            if self.reliability == "history_sum":
-                rel = hist.sum(axis=-1)
-            else:
-                rel = hist[..., (self.max_iter - 1) % 4]
-            todo = np.nonzero(~converged)[0]
-            osd0_full = error.copy()
-            # fixed-size buckets: one compiled OSD shape regardless of how
-            # many shots failed BP this batch
+        if self.osd_method is not None and len(todo):
+            # posterior slots: the non-converged shots' histories were last
+            # written by their final BP call
+            last_call_iters = it_b if it_b > 0 else it_a
+            rel = self._reliability(history, last_call_iters)
             bucket = min(self.osd_bucket, pad_pow2(len(todo)))
             for lo in range(0, len(todo), bucket):
                 chunk = todo[lo : lo + bucket]
-                synds_o = np.zeros((bucket, self.m), dtype=np.uint8)
-                rel_o = np.zeros((bucket, self.n), dtype=np.float32)
-                synds_o[: len(chunk)] = syndromes[chunk]
-                rel_o[: len(chunk)] = rel[chunk]
-                osd = self._osd_stage(jnp.asarray(synds_o), jnp.asarray(rel_o))
-                error[chunk] = np.asarray(osd["solution"])[: len(chunk)].astype(
-                    np.uint8
+                g_idx, s_idx = bucket_indices(chunk, bucket)
+                osd = osd_decode(
+                    self.H_words,
+                    jnp.take(synds, g_idx, axis=0),
+                    jnp.take(rel, g_idx, axis=0),
+                    self._llr_dev,
+                    self.patterns,
+                    m=self.m,
+                    n=self.n,
+                    rank=self.rank,
+                    k=self.k,
                 )
-                min_pm[chunk] = np.asarray(osd["min_pm"])[: len(chunk)]
-                osd0_full[chunk] = np.asarray(osd["osd0"])[: len(chunk)].astype(
-                    np.uint8
+                error = error.at[s_idx].set(
+                    osd["solution"].astype(jnp.uint8), mode="drop"
                 )
+                min_pm = min_pm.at[s_idx].set(osd["min_pm"], mode="drop")
             osd_applied[todo] = True
 
+        return {
+            "error": error,
+            "converged": done,
+            "iterations": iters,
+            "min_pm": min_pm,
+            "osd_applied": osd_applied,
+        }
+
+    # -- host API ------------------------------------------------------------
+
+    def decode_batch(self, syndromes) -> DecodeResult:
+        syndromes, _ = as_batch(syndromes, self.m)
+        out = self.decode_batch_device(jnp.asarray(syndromes, jnp.uint8))
         return DecodeResult(
-            error=error,
-            converged=converged,
-            iterations=iters,
-            min_pm=min_pm,
-            osd0=osd0_full,
-            osd_applied=osd_applied,
+            error=np.asarray(out["error"]),
+            converged=np.asarray(out["converged"]),
+            iterations=np.asarray(out["iterations"]),
+            min_pm=np.asarray(out["min_pm"]),
+            osd_applied=out["osd_applied"],
         )
 
     def decode(self, syndrome) -> np.ndarray:

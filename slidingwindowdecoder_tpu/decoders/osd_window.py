@@ -1,0 +1,198 @@
+"""Shortened-PCM BP+OSD decoder (the reference's own ``osd_window``).
+
+Batched re-design of osd_window.pyx:158-284: (1) a short pre-BP pass on the
+full window PCM; (2) for unconverged shots, *shorten* by deciding the
+most-reliable columns (largest 4-iteration posterior sum) to zero and
+peeling; (3) a long post-BP pass on the masked graph with fresh messages;
+(4) if still unconverged, OSD over the full PCM with decided columns pinned
+to the extremes of the reliability order (±1000, osd_window.pyx:205-213).
+
+Decided values steer only the column ordering of the OSD stage — the
+elimination itself runs over all columns, exactly as the reference's
+``mod2sparse_decomp_osd`` does on the full H.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graphs.tanner import compile_graph, graph_device_arrays
+from ..ops.bp import bp_init_messages, bp_run, fresh_bp_state
+from ..ops.decimation import init_decimation_state, peel, vn_set_values
+from ..ops.gf2_solve import (
+    gf2_rank_packed,
+    osd_candidate_patterns,
+    osd_decode,
+    pack_rows_host,
+)
+from .base import DecodeResult, as_batch, pad_pow2
+
+PIN = 1000.0  # reliability pin for decided columns (osd_window.pyx:205-213)
+
+
+class OSDWindow:
+    """Batched shortened BP+OSD decoder for one (window) PCM."""
+
+    def __init__(
+        self,
+        pcm,
+        channel_probs,
+        *,
+        pre_max_iter: int = 8,
+        post_max_iter: int = 100,
+        ms_scaling_factor: float = 1.0,
+        new_n: int | None = None,
+        osd_method: str = "osd_0",
+        osd_order: int = 0,
+        clip: float = 50.0,
+        bucket: int = 512,
+    ):
+        pcm = np.asarray(pcm)
+        self.m, self.n = pcm.shape
+        channel_probs = np.asarray(channel_probs, dtype=np.float64)
+        if np.any((channel_probs <= 0) | (channel_probs >= 1)):
+            raise ValueError("channel_probs must lie strictly in (0, 1)")
+        self.pre_max_iter = int(pre_max_iter)
+        self.post_max_iter = int(post_max_iter)
+        self.alpha = float(ms_scaling_factor)
+        self.clip = float(clip)
+        self.new_n = min(self.n, 2 * self.m) if new_n is None else min(new_n, self.n)
+        self.bucket = int(bucket)
+
+        method = str(osd_method).lower()
+        if method in ("osd_0", "osd0", "0"):
+            method, osd_order = "osd_0", 0
+        elif method in ("osd_e", "osde", "e", "1"):
+            method = "osd_e"
+        elif method in ("osd_cs", "osdcs", "cs", "2"):
+            method = "osd_cs"
+        else:
+            raise ValueError(f"unknown osd_method {osd_method!r}")
+        self.osd_method = method
+        self.osd_order = int(osd_order)
+
+        self.graph = compile_graph(pcm)
+        self.garr = graph_device_arrays(self.graph)
+        self.llr = np.log((1 - channel_probs) / channel_probs).astype(np.float32)
+        self._llr_dev = jnp.asarray(self.llr)
+
+        self.rank = gf2_rank_packed(pcm)
+        self.k = self.new_n - self.rank
+        if self.osd_order > self.k:
+            raise ValueError(
+                f"osd_order must be <= new_n - rank = {self.k} "
+                f"(osd_window.pyx:89 bound), got {osd_order}"
+            )
+        self.H_words = jnp.asarray(pack_rows_host(pcm))
+        self.patterns = jnp.asarray(
+            osd_candidate_patterns(max(self.k, 1), self.osd_order, method)[:, : self.k]
+            if self.k > 0
+            else np.zeros((0, 0), np.uint8)
+        )
+
+    def _bp(self, mv, synds, vn_state, cn_state, history, error, done, iters, n_it):
+        return bp_run(
+            self.garr, mv, self._llr_dev, synds, vn_state, cn_state, history,
+            error, done, iters, num_iter=n_it, alpha=self.alpha, clip=self.clip,
+        )
+
+    def decode_batch_device(self, synds):
+        B = synds.shape[0]
+        n = self.n
+        vn_state = jnp.full((B, n), -1, jnp.int8)
+        cn_state = synds.astype(jnp.int8)
+        mv = bp_init_messages(self.garr, self._llr_dev, B)
+        history, error, done, iters = fresh_bp_state(self.garr, B)
+
+        # (1) pre-BP on the full graph
+        mv, history, error, done, iters = self._bp(
+            mv, synds, vn_state, cn_state, history, error, done, iters,
+            self.pre_max_iter,
+        )
+        conv = np.asarray(done)
+        todo = np.nonzero(~conv)[0]
+        error = error.astype(jnp.int8)
+        osd_applied = np.zeros(B, dtype=bool)
+
+        for lo in range(0, len(todo), self.bucket):
+            chunk = todo[lo : lo + self.bucket]
+            bucket = min(self.bucket, pad_pow2(len(chunk), floor=32))
+            g = np.full(bucket, int(chunk[0]), dtype=np.int32)
+            g[: len(chunk)] = chunk
+            s = np.full(bucket, B, dtype=np.int32)
+            s[: len(chunk)] = chunk
+            g_idx, s_idx = jnp.asarray(g), jnp.asarray(s)
+            take = lambda a: jnp.take(a, g_idx, axis=0)
+
+            synd_c = take(synds)
+            hist_c = take(history)
+            # (2) shorten: decide the most reliable columns to zero + peel
+            llr_sum = jnp.sum(hist_c, axis=-1)
+            order = jnp.argsort(llr_sum, axis=1, stable=True)
+            rank_pos = (
+                jnp.zeros((bucket, n), jnp.int32)
+                .at[jnp.arange(bucket)[:, None], order]
+                .set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (bucket, n)))
+            )
+            drop = rank_pos >= self.new_n
+            vn_c, cn_c, cd_c, dead_c = init_decimation_state(self.garr, synd_c)
+            vn_c, cn_c, cd_c, dead_c = vn_set_values(
+                self.garr, vn_c, cn_c, cd_c, dead_c, drop,
+                jnp.zeros((bucket, n), jnp.int8),
+            )
+            vn_c, cn_c, cd_c, dead_c = peel(self.garr, vn_c, cn_c, cd_c, dead_c)
+
+            # (3) post-BP on the masked graph, fresh messages and history
+            mv_c = bp_init_messages(self.garr, self._llr_dev, bucket)
+            hist2 = jnp.zeros((bucket, n, 4), jnp.float32)
+            err_c = jnp.where(vn_c != -1, vn_c, jnp.int8(0))
+            it_c = jnp.zeros((bucket,), jnp.int32)
+            mv_c, hist2, err_c, done_c, it_c = self._bp(
+                mv_c, synd_c, vn_c, cn_c, hist2, err_c, dead_c, it_c,
+                self.post_max_iter,
+            )
+            # dead shots keep the (partially decimated) BP decision
+            post_conv = done_c & ~dead_c
+
+            # (4) OSD for the rest, reliability pinned by decisions
+            rel = jnp.sum(hist2, axis=-1)
+            rel = jnp.where(vn_c == 1, -PIN, jnp.where(vn_c == 0, PIN, rel))
+            osd = osd_decode(
+                self.H_words, synd_c, rel, self._llr_dev, self.patterns,
+                m=self.m, n=n, rank=self.rank, k=self.k,
+            )
+            use_osd = ~post_conv & ~dead_c
+            final = jnp.where(
+                use_osd[:, None], osd["solution"].astype(jnp.int8), err_c
+            )
+            error = error.at[s_idx].set(final, mode="drop")
+            done = done.at[s_idx].set(post_conv, mode="drop")
+            iters = iters.at[s_idx].add(
+                jnp.where(jnp.arange(bucket) < len(chunk), it_c, 0), mode="drop"
+            )
+            osd_applied[chunk] = np.asarray(use_osd)[: len(chunk)]
+
+        error = error.astype(jnp.uint8)
+        min_pm = jnp.sum(self._llr_dev[None, :] * (error == 1), axis=-1)
+        return {
+            "error": error,
+            "converged": done,
+            "iterations": iters,
+            "min_pm": min_pm,
+            "osd_applied": osd_applied,
+        }
+
+    def decode_batch(self, syndromes) -> DecodeResult:
+        syndromes, _ = as_batch(syndromes, self.m)
+        out = self.decode_batch_device(jnp.asarray(syndromes, jnp.uint8))
+        return DecodeResult(
+            error=np.asarray(out["error"]),
+            converged=np.asarray(out["converged"]),
+            iterations=np.asarray(out["iterations"]),
+            min_pm=np.asarray(out["min_pm"]),
+            osd_applied=out["osd_applied"],
+        )
+
+    def decode(self, syndrome) -> np.ndarray:
+        return self.decode_batch(np.asarray(syndrome)[None, :]).error[0]

@@ -65,6 +65,7 @@ def sliding_window_decoder(
     *,
     z_basis: bool = True,
     method: int = 1,
+    shorten: bool = False,
     osd_method: str = "osd_cs",
     osd_order: int = 10,
     ms_scaling_factor: float = 1.0,
@@ -90,16 +91,32 @@ def sliding_window_decoder(
     # the plan's columns are a permutation of DEM columns; detector rows are
     # untouched, so det/obs samples feed straight in
     if decoder_factory is None:
-        decoder_factory = CachingDecoderFactory(
-            lambda spec: BPOSD(
-                spec.mat,
-                spec.prior,
-                max_iter=max_iter,
-                ms_scaling_factor=ms_scaling_factor,
-                osd_method=osd_method,
-                osd_order=osd_order,
+        if shorten:
+            # osd.py:152-161: the reference's own shortened osd_window path
+            from ..decoders.osd_window import OSDWindow
+
+            decoder_factory = CachingDecoderFactory(
+                lambda spec: OSDWindow(
+                    spec.mat,
+                    spec.prior,
+                    pre_max_iter=8,
+                    post_max_iter=max_iter,
+                    ms_scaling_factor=ms_scaling_factor,
+                    osd_method=osd_method,
+                    osd_order=osd_order,
+                )
             )
-        )
+        else:
+            decoder_factory = CachingDecoderFactory(
+                lambda spec: BPOSD(
+                    spec.mat,
+                    spec.prior,
+                    max_iter=max_iter,
+                    ms_scaling_factor=ms_scaling_factor,
+                    osd_method=osd_method,
+                    osd_order=osd_order,
+                )
+            )
 
     t0 = time.perf_counter()
     out = decode_sliding_window(plan, det_raw, decoder_factory, verbose=verbose)
@@ -132,4 +149,129 @@ def sliding_window_decoder(
         print(
             f"decode: {decode_seconds:.2f}s ({result['shots_per_sec']:.1f} shots/s)"
         )
+    return result
+
+
+def sliding_window_gdg(
+    N: int = 144,
+    p: float = 0.005,
+    num_repeat: int = 12,
+    num_shots: int = 5000,
+    max_iter: int = 200,
+    W: int = 3,
+    F: int = 1,
+    *,
+    z_basis: bool = True,
+    method: int = 1,
+    max_step: int = 25,
+    max_iter_per_step: int = 6,
+    max_tree_depth: int = 3,
+    max_side_depth: int = 10,
+    max_side_branch_step: int = 10,
+    low_error_mode: bool = False,
+    last_win_osd: bool = False,
+    last_win_gdg_factor: float = 1.0,
+    last_win_bp_factor: float = 1.0,
+    ensemble_bucket: int = 64,
+    seed: int | None = None,
+    verbose: bool = True,
+):
+    """Sliding-window decoding with GDG per window (guessing.py:19-237).
+
+    With ``last_win_osd``, the final window is re-decoded with BP+OSD-CS-10
+    after the GDG pass (guessing.py:149-158, 229-236) and both results are
+    reported; the OSD re-decode is the committed one.
+    """
+    from ..decoders.gdg import GDG
+
+    code, circuit, dem, plan = build_bb_window_experiment(
+        N, p, num_repeat, W, F, method=method, z_basis=z_basis
+    )
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    det_raw, obs_raw, _ = sample_dem_numpy(dem, num_shots, rng)
+    if verbose:
+        print(f"sampled {num_shots} shots in {time.perf_counter() - t0:.2f}s")
+
+    def build(spec):
+        last = spec.is_last
+        return GDG(
+            spec.mat,
+            spec.prior,
+            max_iter=max_iter,
+            max_iter_per_step=max_iter_per_step,
+            max_step=max_step,
+            max_tree_depth=max_tree_depth,
+            max_side_depth=max_side_depth,
+            max_tree_branch_step=max_side_branch_step,
+            max_side_branch_step=max_side_branch_step,
+            ms_scaling_factor=last_win_bp_factor if last else 1.0,
+            gdg_factor=last_win_gdg_factor if last else 1.0,
+            low_error_mode=low_error_mode,
+            ensemble_bucket=ensemble_bucket,
+        )
+
+    factory = CachingDecoderFactory(build)
+    t0 = time.perf_counter()
+    out = decode_sliding_window(plan, det_raw, factory, verbose=verbose)
+    decode_seconds = time.perf_counter() - t0
+    ev = evaluate_logical_errors(plan, det_raw, obs_raw, out["total_e_hat"])
+    p_l = ev["num_failed"] / num_shots
+    result = {
+        "N": N,
+        "p": p,
+        "num_shots": num_shots,
+        "W": W,
+        "F": F,
+        "num_windows": plan.num_windows,
+        "num_flagged": ev["num_flagged"],
+        "num_failed": ev["num_failed"],
+        "ler": p_l,
+        "ler_per_round": 1 - (1 - p_l) ** (1 / num_repeat),
+        "decode_seconds": decode_seconds,
+        "shots_per_sec": num_shots / decode_seconds,
+    }
+    if verbose:
+        print(f"GDG: Logical Errors: {ev['num_failed']}/{num_shots}; "
+              f"LER/r {result['ler_per_round']:.3e}")
+
+    if last_win_osd:
+        import jax.numpy as jnp
+
+        spec = plan.windows[-1]
+        bpd = BPOSD(
+            spec.mat,
+            spec.prior,
+            max_iter=200,
+            ms_scaling_factor=1.0,
+            osd_method="osd_cs",
+            osd_order=10,
+        )
+        total = out["total_e_hat"]
+        det_dev = jnp.asarray(det_raw, jnp.uint8)
+        # recompute the last window's input from committed earlier windows
+        partial = total.at[:, spec.col_start :].set(0)
+        chk_t = jnp.asarray(plan.chk.T, jnp.float32)
+        corr = jnp.mod(
+            jnp.dot(partial.astype(jnp.float32), chk_t,
+                    preferred_element_type=jnp.float32),
+            2.0,
+        ).astype(jnp.uint8)
+        synd = (det_dev ^ corr)[:, spec.row_start : spec.row_end]
+        redo = bpd.decode_batch_device(synd)
+        total2 = total.at[:, spec.col_start : spec.col_end].set(redo["error"])
+        ev2 = evaluate_logical_errors(plan, det_raw, obs_raw, total2)
+        p_l2 = ev2["num_failed"] / num_shots
+        result["last_win_osd"] = {
+            "num_failed": ev2["num_failed"],
+            "ler": p_l2,
+            "ler_per_round": 1 - (1 - p_l2) ** (1 / num_repeat),
+        }
+        result["total_e_hat_osd"] = total2
+        if verbose:
+            print(
+                f"GDG+last-window-OSD: Logical Errors: "
+                f"{ev2['num_failed']}/{num_shots}; "
+                f"LER/r {result['last_win_osd']['ler_per_round']:.3e}"
+            )
     return result

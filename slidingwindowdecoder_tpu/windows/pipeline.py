@@ -1,11 +1,14 @@
-"""Batched sliding-window decode pipeline.
+"""Batched sliding-window decode pipeline (device resident).
 
 Executes the (W, F) window loop of the reference driver (osd.py:130-194)
 over a whole batch of shots at once: decode window i from the current
 corrected detector data, commit the first F rounds' faults, subtract the
-committed syndrome contribution from all detectors, slide forward. The
-per-window decoders are batched device decoders (BPOSD / GDG / shortened
-OSD); the commit-feedback update runs as one GF(2) mat-mul on device.
+committed syndrome contribution from all detectors, slide forward.
+
+All shot-sized state (detector data, accumulated corrections) lives on the
+device for the entire loop; the commit is a static-slice scatter and the
+feedback is one GF(2) mat-mul on the MXU per window. Only scalar counters
+return to the host.
 """
 
 from __future__ import annotations
@@ -14,24 +17,24 @@ import time
 
 import numpy as np
 
-from .regions import SlidingWindowPlan
 
-
-def _gf2_matmul_device(a_u8: np.ndarray, b_u8: np.ndarray) -> np.ndarray:
-    """(a @ b) % 2 on the accelerator (f32 MXU; exact for these sizes)."""
+def _as_device_u8(x):
     import jax.numpy as jnp
 
-    out = jnp.dot(
-        jnp.asarray(a_u8, jnp.float32),
-        jnp.asarray(b_u8, jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    return np.asarray(jnp.mod(out, 2.0).astype(jnp.uint8))
+    return jnp.asarray(x, jnp.uint8)
+
+
+def _gf2_matmul(a, b_f32):
+    """(a @ b) % 2 on device; ``b_f32`` pre-converted [K, R] float32."""
+    import jax.numpy as jnp
+
+    out = jnp.dot(a.astype(jnp.float32), b_f32, preferred_element_type=jnp.float32)
+    return jnp.mod(out, 2.0).astype(jnp.uint8)
 
 
 def decode_sliding_window(
-    plan: SlidingWindowPlan,
-    det_data: np.ndarray,
+    plan,
+    det_data,
     decoder_factory,
     *,
     verbose: bool = True,
@@ -41,21 +44,21 @@ def decode_sliding_window(
 
     Args:
       plan: static window plan (windows, regrouped chk/obs/priors).
-      det_data: [S, num_detectors] sampled detector bits (already in the
-        plan's detector-row order — regrouping permutes columns only).
-      decoder_factory: ``spec -> decoder`` returning an object with
-        ``decode_batch(syndromes) -> DecodeResult``; called once per window
-        (cache inside the factory to reuse compilations across same-shape
-        windows).
+      det_data: [S, num_detectors] detector bits (numpy or device array).
+      decoder_factory: ``spec -> decoder`` with either a device-level
+        ``decode_batch_device(synds)`` or a host ``decode_batch``.
 
-    Returns dict with total_e_hat [S, C], per-window flagged counts, and
-    timing.
+    Returns dict with total_e_hat [S, C] (device), per-window flagged
+    counts, and timing.
     """
-    det_data = np.asarray(det_data, dtype=np.uint8)
-    S = det_data.shape[0]
+    import jax.numpy as jnp
+
+    det = _as_device_u8(det_data)
+    S = det.shape[0]
     num_col = plan.chk.shape[1]
-    total_e_hat = np.zeros((S, num_col), dtype=np.uint8)
-    new_det = det_data.copy()
+    chk_t_f32 = jnp.asarray(plan.chk.T, jnp.float32)  # [C, R]
+    total_e_hat = jnp.zeros((S, num_col), jnp.uint8)
+    new_det = det
     window_flagged: list[int] = []
     window_seconds: list[float] = []
 
@@ -63,24 +66,30 @@ def decode_sliding_window(
         t0 = time.perf_counter()
         decoder = decoder_factory(spec)
         synd = new_det[:, spec.row_start : spec.row_end]
-        res = decoder.decode_batch(synd)
-        e_hat = res.error
+        if hasattr(decoder, "decode_batch_device"):
+            out = decoder.decode_batch_device(synd)
+            e_hat = out["error"]
+        else:  # host-level decoder (e.g. experimental plug-ins)
+            res = decoder.decode_batch(np.asarray(synd))
+            e_hat = _as_device_u8(res.error)
 
         if collect_window_stats:
-            resid = (
-                _gf2_matmul_device(e_hat, spec.mat.T.astype(np.uint8)) ^ synd
-            ).any(axis=1)
-            window_flagged.append(int(resid.sum()))
+            mat_t = jnp.asarray(spec.mat.T, jnp.float32)
+            resid = (_gf2_matmul(e_hat, mat_t) ^ synd).any(axis=1)
+            window_flagged.append(int(jnp.sum(resid)))
 
         if spec.is_last:
-            total_e_hat[:, spec.col_start : spec.col_end] = e_hat
+            total_e_hat = total_e_hat.at[:, spec.col_start : spec.col_end].set(
+                e_hat[:, : spec.col_end - spec.col_start]
+            )
         else:
             ncommit = spec.commit_col_end - spec.col_start
-            total_e_hat[:, spec.col_start : spec.commit_col_end] = e_hat[:, :ncommit]
+            total_e_hat = total_e_hat.at[
+                :, spec.col_start : spec.commit_col_end
+            ].set(e_hat[:, :ncommit])
 
         # feedback: subtract all committed corrections from the raw detectors
-        corr = _gf2_matmul_device(total_e_hat, plan.chk.T)
-        new_det = det_data ^ corr
+        new_det = det ^ _gf2_matmul(total_e_hat, chk_t_f32)
         dt = time.perf_counter() - t0
         window_seconds.append(dt)
         if verbose:
@@ -95,22 +104,25 @@ def decode_sliding_window(
     }
 
 
-def evaluate_logical_errors(plan: SlidingWindowPlan, det_data, obs_data, total_e_hat):
+def evaluate_logical_errors(plan, det_data, obs_data, total_e_hat):
     """Final accounting, matching osd.py:184-189: a shot fails if its global
     residual syndrome is nonzero (flagged) OR any observable is flipped."""
-    det_data = np.asarray(det_data, dtype=np.uint8)
-    obs_data = np.asarray(obs_data, dtype=np.uint8)
-    resid = _gf2_matmul_device(total_e_hat, plan.chk.T) ^ det_data
+    import jax.numpy as jnp
+
+    det = _as_device_u8(det_data)
+    obs = _as_device_u8(obs_data)
+    e_hat = _as_device_u8(total_e_hat)
+    resid = _gf2_matmul(e_hat, jnp.asarray(plan.chk.T, jnp.float32)) ^ det
     flagged = resid.any(axis=1)
-    obs_hat = _gf2_matmul_device(total_e_hat, plan.obs.T)
-    logical = (obs_hat ^ obs_data).any(axis=1)
+    obs_hat = _gf2_matmul(e_hat, jnp.asarray(plan.obs.T, jnp.float32))
+    logical = (obs_hat ^ obs).any(axis=1)
     failed = flagged | logical
     return {
-        "flagged": flagged,
-        "logical": logical,
-        "failed": failed,
-        "num_flagged": int(flagged.sum()),
-        "num_failed": int(failed.sum()),
+        "flagged": np.asarray(flagged),
+        "logical": np.asarray(logical),
+        "failed": np.asarray(failed),
+        "num_flagged": int(jnp.sum(flagged)),
+        "num_failed": int(jnp.sum(failed)),
     }
 
 
