@@ -54,54 +54,74 @@ def _gather_flat(flat_pad, perm):
     return jnp.take(flat_pad, perm, axis=-1)
 
 
-def bp_iteration(garr, mv, prior_llr, vn_state, cn_state, *, alpha, clip):
-    """One min-sum iteration. Returns (mv', posterior, error)."""
+def bp_iteration_bm(garr, mv, prior_llr_t, vn_state_t, cn_state_t, *, alpha, clip):
+    """One min-sum iteration in batch-minor layout.
+
+    Batch lives on the LAST (lane) axis: ``mv`` is [m, dc, B], priors and
+    states are [n|m, B]. The two layout permutations then gather *rows* of
+    [E+1, B] arrays with static indices — contiguous lane vectors — instead
+    of lane-axis gathers, which are pathologically slow on TPU.
+    Returns (mv', posterior [n, B], error [n, B]).
+    """
     cn_vn = garr["cn_vn"]
     cn_valid = garr["cn_valid"]
     m, dc = cn_vn.shape
     n, dv = garr["vn_valid"].shape
-    B = mv.shape[0]
+    B = mv.shape[-1]
 
     # ---- CN update ---------------------------------------------------------
     mvc = jnp.clip(mv, -clip, clip)
-    vn_state_pad = jnp.pad(vn_state, ((0, 0), (0, 1)), constant_values=0)
-    edge_undecided = vn_state_pad[:, cn_vn] == -1  # [B, m, dc]
-    cn_active = (cn_state != -1)[:, :, None]
-    edge_valid = cn_valid[None] & edge_undecided & cn_active
+    vn_state_pad = jnp.concatenate(
+        [vn_state_t, jnp.zeros((1, B), vn_state_t.dtype)], axis=0
+    )
+    edge_undecided = vn_state_pad[cn_vn] == -1  # [m, dc, B]
+    cn_active = (cn_state_t != -1)[:, None, :]
+    edge_valid = cn_valid[:, :, None] & edge_undecided & cn_active
 
     absx = jnp.where(edge_valid, jnp.abs(mvc), BIG)
     neg = edge_valid & (mvc <= 0.0)
-    min1 = jnp.min(absx, axis=-1)
-    arg1 = jnp.argmin(absx, axis=-1)  # first occurrence, like the fwd pass
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, dc), 2)
-    absx2 = jnp.where(slot == arg1[:, :, None], BIG, absx)
-    min2 = jnp.min(absx2, axis=-1)
+    min1 = jnp.min(absx, axis=1)  # [m, B]
+    arg1 = jnp.argmin(absx, axis=1)  # first occurrence, like the fwd pass
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, dc, 1), 1)
+    is_arg = slot == arg1[:, None, :]
+    absx2 = jnp.where(is_arg, BIG, absx)
+    min2 = jnp.min(absx2, axis=1)
 
-    parity = jnp.maximum(cn_state, 0).astype(jnp.int32)  # sign seed
-    total_sign = (parity + jnp.sum(neg, axis=-1).astype(jnp.int32)) % 2
-    sign_excl = total_sign[:, :, None] ^ neg.astype(jnp.int32)
-    mag = jnp.where(slot == arg1[:, :, None], min2[:, :, None], min1[:, :, None])
+    parity = jnp.maximum(cn_state_t, 0).astype(jnp.int32)  # sign seed
+    total_sign = (parity + jnp.sum(neg, axis=1).astype(jnp.int32)) % 2
+    sign_excl = total_sign[:, None, :] ^ neg.astype(jnp.int32)
+    mag = jnp.where(is_arg, min2[:, None, :], min1[:, None, :])
     mc = alpha * jnp.where(sign_excl == 1, -mag, mag)
     mc = jnp.where(edge_valid, mc, 0.0)
 
     # ---- VN update ---------------------------------------------------------
-    mc_flat = jnp.pad(mc.reshape(B, m * dc), ((0, 0), (0, 1)))
-    mcv = _gather_flat(mc_flat, garr["vn_from_cn"]).reshape(B, n, dv)
-    posterior = prior_llr + jnp.sum(mcv, axis=-1)
-    mvv = posterior[:, :, None] - mcv
-    mvv_flat = jnp.pad(mvv.reshape(B, n * dv), ((0, 0), (0, 1)))
-    mv_new = _gather_flat(mvv_flat, garr["cn_from_vn"]).reshape(B, m, dc)
+    mc_flat = jnp.concatenate(
+        [mc.reshape(m * dc, B), jnp.zeros((1, B), mc.dtype)], axis=0
+    )
+    mcv = jnp.take(mc_flat, garr["vn_from_cn"], axis=0).reshape(n, dv, B)
+    posterior = prior_llr_t + jnp.sum(mcv, axis=1)  # [n, B]
+    mvv = posterior[:, None, :] - mcv
+    mvv_flat = jnp.concatenate(
+        [mvv.reshape(n * dv, B), jnp.zeros((1, B), mvv.dtype)], axis=0
+    )
+    mv_new = jnp.take(mvv_flat, garr["cn_from_vn"], axis=0).reshape(m, dc, B)
 
     hard = posterior <= 0.0
-    error = jnp.where(vn_state == -1, hard.astype(jnp.int8), vn_state)
+    error = jnp.where(vn_state_t == -1, hard.astype(jnp.int8), vn_state_t)
     return mv_new, posterior, error
 
 
+def _check_syndrome_bm(garr, error_t):
+    """[n, B] error -> [m, B] decoded syndrome (batch-minor)."""
+    B = error_t.shape[-1]
+    err_pad = jnp.concatenate([error_t, jnp.zeros((1, B), error_t.dtype)], axis=0)
+    bits = err_pad[garr["cn_vn"]] * garr["cn_valid"][:, :, None]
+    return jnp.sum(bits.astype(jnp.int32), axis=1) % 2
+
+
 def check_syndrome(garr, error):
-    """Decoded syndrome over the full PCM (decided VNs included)."""
-    err_pad = jnp.pad(error, ((0, 0), (0, 1)))
-    bits = err_pad[:, garr["cn_vn"]] * garr["cn_valid"][None]
-    return jnp.sum(bits.astype(jnp.int32), axis=-1) % 2
+    """Decoded syndrome over the full PCM (decided VNs included). [B, n]."""
+    return _check_syndrome_bm(garr, error.T).T
 
 
 @partial(jax.jit, static_argnames=("num_iter", "alpha", "clip"))
@@ -128,36 +148,51 @@ def bp_run(
     the reference's per-call iteration counter). Returns the updated
     ``(mv, history, error, done, iters)``.
     """
-    syndrome = syndrome.astype(jnp.int32)
+    B = mv.shape[0]
+    n = garr["vn_valid"].shape[0]
+    syndrome_t = syndrome.astype(jnp.int32).T  # [m, B]
     prior_llr = jnp.asarray(prior_llr, jnp.float32)
     if prior_llr.ndim == 1:
-        prior_llr = jnp.broadcast_to(prior_llr, (mv.shape[0], garr["vn_valid"].shape[0]))
+        prior_t = jnp.broadcast_to(prior_llr[:, None], (n, B))
+    else:
+        prior_t = prior_llr.T
+    # batch-minor internal layout: shots on the lane axis
+    mv_t = jnp.transpose(mv, (1, 2, 0))
+    hist_t = jnp.transpose(history, (1, 2, 0))  # [n, 4, B]
+    err_t = error.T
+    vn_state_t = vn_state.T
+    cn_state_t = cn_state.T
 
     def cond(state):
-        i, mv, history, error, done, iters = state
+        i, mv, hist, err, done, iters = state
         return (i < num_iter) & ~jnp.all(done)
 
     def body(state):
-        i, mv, history, error, done, iters = state
-        mv_new, posterior, error_new = bp_iteration(
-            garr, mv, prior_llr, vn_state, cn_state, alpha=alpha, clip=clip
+        i, mv, hist, err, done, iters = state
+        mv_new, posterior, err_new = bp_iteration_bm(
+            garr, mv, prior_t, vn_state_t, cn_state_t, alpha=alpha, clip=clip
         )
         active = ~done  # shots still iterating at the START of this iteration
-        upd = active[:, None, None]
-        mv = jnp.where(upd, mv_new, mv)
-        slot_hot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 4), 2) == (i % 4)
-        hist_mask = (active[:, None] & (vn_state == -1))[:, :, None] & slot_hot
-        history = jnp.where(hist_mask, posterior[:, :, None], history)
-        error = jnp.where(active[:, None], error_new, error)
-        synd_hat = check_syndrome(garr, error)
-        conv = jnp.all(synd_hat == syndrome, axis=-1)
+        mv = jnp.where(active[None, None, :], mv_new, mv)
+        slot_hot = jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1) == (i % 4)
+        hist_mask = (active[None, :] & (vn_state_t == -1))[:, None, :] & slot_hot
+        hist = jnp.where(hist_mask, posterior[:, None, :], hist)
+        err = jnp.where(active[None, :], err_new, err)
+        synd_hat = _check_syndrome_bm(garr, err)
+        conv = jnp.all(synd_hat == syndrome_t, axis=0)
         iters = iters + active.astype(jnp.int32)
         done = done | conv
-        return (i + 1, mv, history, error, done, iters)
+        return (i + 1, mv, hist, err, done, iters)
 
-    state = (jnp.int32(0), mv, history, error, done, iters)
-    _, mv, history, error, done, iters = jax.lax.while_loop(cond, body, state)
-    return mv, history, error, done, iters
+    state = (jnp.int32(0), mv_t, hist_t, err_t, done, iters)
+    _, mv_t, hist_t, err_t, done, iters = jax.lax.while_loop(cond, body, state)
+    return (
+        jnp.transpose(mv_t, (2, 0, 1)),
+        jnp.transpose(hist_t, (2, 0, 1)),
+        err_t.T,
+        done,
+        iters,
+    )
 
 
 def fresh_bp_state(garr, batch: int):

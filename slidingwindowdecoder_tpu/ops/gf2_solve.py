@@ -96,7 +96,11 @@ def _unpack_bits(words, n):
 
 @partial(jax.jit, static_argnames=("m", "n", "rank"))
 def ordered_gauss_jordan(H_words, syndrome, rank_pos, *, m: int, n: int, rank: int):
-    """Batched reliability-ordered Gauss-Jordan elimination.
+    """Batched reliability-ordered Gauss-Jordan elimination (batch-minor).
+
+    Internally the batch lives on the last (lane) axis and all per-shot
+    dynamic indexing (pivot column word, pivot row) is realized as one-hot
+    reductions over *major* axes — TPU-friendly, no lane-axis gathers.
 
     Args:
       H_words: [m, W] packed PCM rows (static, shared across the batch).
@@ -105,77 +109,82 @@ def ordered_gauss_jordan(H_words, syndrome, rank_pos, *, m: int, n: int, rank: i
         (position of the column in the sorted order; lower = tried first).
       rank: GF(2) rank of H (static; number of pivot steps).
 
-    Returns dict:
-      osd0: [B, n] uint8 — the OSD-0 solution (support in pivot columns).
-      piv_col / piv_row: [B, rank] int32.
-      coords_words: [B, rank_padded_words? ] — see osd_candidate_sweep; here
-        we return the final reduced rows ([B, m, W]) packed, from which
-        candidate coordinates are gathered.
-      inconsistent: [B] bool — syndrome not in the pivot column span.
+    Returns dict (batch-major views for consumers):
+      osd0 [B, n] uint8; piv_col / piv_row [B, rank] int32;
+      reduced_rows [B, m, W] packed final rows; sol_bits [B, rank];
+      inconsistent [B] bool (syndrome outside the pivot span).
     """
     B = syndrome.shape[0]
     W = H_words.shape[1]
 
-    rows = jnp.broadcast_to(H_words[None].astype(_U32), (B, m, W))
-    swords = syndrome.astype(_U32)[:, :, None]  # [B, m, 1] one bit per row
-    state_rows = jnp.concatenate([rows, swords], axis=2)  # [B, m, W+1]
-    unused = jnp.ones((B, m), dtype=bool)
-    piv_col = jnp.full((B, rank), -1, jnp.int32)
-    piv_row = jnp.full((B, rank), -1, jnp.int32)
-    rank_pos = rank_pos.astype(jnp.int32)
+    rows = jnp.broadcast_to(H_words[:, :, None].astype(_U32), (m, W, B))
+    swords = syndrome.astype(_U32).T[:, None, :]  # [m, 1, B]
+    state_rows = jnp.concatenate([rows, swords], axis=1)  # [m, W+1, B]
+    unused = jnp.ones((m, B), dtype=bool)
+    piv_col = jnp.full((rank, B), -1, jnp.int32)
+    piv_row = jnp.full((rank, B), -1, jnp.int32)
+    rank_pos_t = rank_pos.astype(jnp.int32).T  # [n, B]
 
     big = jnp.int32(n + 1)
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (m, B), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+    shifts = jax.lax.broadcasted_iota(_U32, (W, _W, B), 1)
 
     def body(r, carry):
         state_rows, unused, piv_col, piv_row = carry
-        mat = state_rows[:, :, :W]
-        # live columns: any 1 in an unused row
-        masked = jnp.where(unused[:, :, None], mat, _U32(0))
+        mat = state_rows[:, :W, :]
+        # live columns: any 1 in an unused row; OR-reduce over the row axis
+        masked = jnp.where(unused[:, None, :], mat, _U32(0))
         live_words = jax.lax.reduce(
-            masked, _U32(0), jax.lax.bitwise_or, dimensions=(1,)
-        )  # [B, W]
-        live = _unpack_bits(live_words, n) > 0  # [B, n]
-        # pick live column with smallest reliability rank
-        keyed = jnp.where(live, rank_pos, big)
-        jstar = jnp.argmin(keyed, axis=1).astype(jnp.int32)  # [B]
+            masked, _U32(0), jax.lax.bitwise_or, dimensions=(0,)
+        )  # [W, B]
+        live_bits = ((live_words[:, None, :] >> shifts) & _U32(1)).reshape(
+            W * _W, B
+        )[:n]
+        keyed = jnp.where(live_bits > 0, rank_pos_t, big)
+        jstar = jnp.argmin(keyed, axis=0).astype(jnp.int32)  # [B]
 
-        w_idx = (jstar // _W)[:, None, None]  # [B,1,1]
-        sh = (jstar % _W).astype(_U32)[:, None]
-        colw = jnp.take_along_axis(mat, jnp.broadcast_to(w_idx, (B, m, 1)), axis=2)[..., 0]
-        colbits = ((colw >> sh) & _U32(1)).astype(bool)  # [B, m]
+        # pivot-column bit of every row: one-hot select the word, then shift
+        word_hot = (iota_w == (jstar // _W)[None, :]).astype(_U32)  # [W, B]
+        colw = jnp.sum(mat * word_hot[None, :, :], axis=1)  # [m, B]
+        colbits = ((colw >> (jstar % _W).astype(_U32)[None, :]) & _U32(1)) > 0
 
-        istar = jnp.argmax(colbits & unused, axis=1).astype(jnp.int32)  # first hit
-        prow = jnp.take_along_axis(
-            state_rows, jnp.broadcast_to(istar[:, None, None], (B, 1, W + 1)), axis=1
-        )  # [B, 1, W+1]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
-        sel = colbits & (row_ids != istar[:, None])
-        state_rows = state_rows ^ (sel[:, :, None].astype(_U32) * prow)
+        # first unused row holding the pivot column
+        istar = jnp.argmin(
+            jnp.where(colbits & unused, iota_m, jnp.int32(m + 1)), axis=0
+        ).astype(jnp.int32)  # [B]
+        row_hot = (iota_m == istar[None, :]).astype(_U32)  # [m, B]
+        prow = jnp.sum(state_rows * row_hot[:, None, :], axis=0)  # [W+1, B]
 
-        unused = unused & (row_ids != istar[:, None])
-        piv_col = piv_col.at[:, r].set(jstar)
-        piv_row = piv_row.at[:, r].set(istar)
+        sel = colbits & (iota_m != istar[None, :])
+        state_rows = state_rows ^ (sel[:, None, :].astype(_U32) * prow[None, :, :])
+
+        unused = unused & (iota_m != istar[None, :])
+        piv_col = jax.lax.dynamic_update_slice(piv_col, jstar[None, :], (r, 0))
+        piv_row = jax.lax.dynamic_update_slice(piv_row, istar[None, :], (r, 0))
         return state_rows, unused, piv_col, piv_row
 
     state_rows, unused, piv_col, piv_row = jax.lax.fori_loop(
         0, rank, body, (state_rows, unused, piv_col, piv_row)
     )
 
-    synd_bits = (state_rows[:, :, W] & _U32(1)).astype(jnp.int32)  # [B, m]
-    sol_bits = jnp.take_along_axis(synd_bits, piv_row, axis=1)  # [B, rank]
+    synd_bits = (state_rows[:, W, :] & _U32(1)).astype(jnp.int32)  # [m, B]
+    sol_bits = jnp.take_along_axis(synd_bits, piv_row, axis=0)  # [rank, B]
+    lane = jnp.arange(B)[None, :]
     osd0 = (
-        jnp.zeros((B, n), jnp.uint8)
-        .at[jnp.arange(B)[:, None], piv_col]
+        jnp.zeros((n, B), jnp.uint8)
+        .at[piv_col, lane]
         .set(sol_bits.astype(jnp.uint8))
+        .T
     )
-    inconsistent = jnp.any((synd_bits == 1) & unused, axis=1)
+    inconsistent = jnp.any((synd_bits == 1) & unused, axis=0)
     return {
         "osd0": osd0,
-        "piv_col": piv_col,
-        "piv_row": piv_row,
-        "reduced_rows": state_rows[:, :, :W],
-        "synd_bits": synd_bits,
-        "sol_bits": sol_bits.astype(jnp.uint8),
+        "piv_col": piv_col.T,
+        "piv_row": piv_row.T,
+        "reduced_bm": state_rows[:, :W, :],
+        "synd_bits": synd_bits.T,
+        "sol_bits": jnp.transpose(sol_bits).astype(jnp.uint8),
         "inconsistent": inconsistent,
     }
 
@@ -221,97 +230,232 @@ def osd_candidate_patterns(k: int, order: int, method: str) -> np.ndarray:
     return np.stack(pats)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def osd_sweep(
-    gj,
-    rank_order_cols,
-    channel_llr,
-    patterns,
-    *,
-    k: int,
-):
-    """Evaluate OSD candidates and return the min-path-metric solution.
+def analyze_patterns(patterns, k: int) -> dict:
+    """Host-side candidate-structure analysis (static per decoder).
 
-    Args:
-      gj: output dict of :func:`ordered_gauss_jordan`.
-      rank_order_cols: [B, n] int32 — per-shot columns sorted by reliability
-        (the order used to build ``rank_pos``).
-      channel_llr: [n] or [B, n] prior LLRs (path-metric weights).
-      patterns: [K, k] uint8 candidate inputs over the first k non-pivot
-        columns in reliability order.
-
-    Returns (solution [B, n] uint8, min_pm [B]).
+    Recognizes the OSD-CS layout (k weight-1 rows followed by weight-2
+    pairs) so the device sweep can use the linearized path-metric trick;
+    anything else falls back to a dense small-support einsum (OSD-E).
     """
+    pats = np.asarray(patterns, dtype=np.uint8)
+    K = pats.shape[0]
+    if K == 0:
+        return {"kind": "none"}
+    weights = pats.sum(axis=1)
+    if (
+        K >= k
+        and k > 0
+        and np.array_equal(pats[:k], np.eye(k, dtype=np.uint8))
+        and (weights[k:] == 2).all()
+    ):
+        if K > k:
+            pi, pj = [], []
+            for row in pats[k:]:
+                i, j = np.nonzero(row)[0]
+                pi.append(i)
+                pj.append(j)
+            return {
+                "kind": "cs",
+                "pair_i": np.asarray(pi, np.int32),
+                "pair_j": np.asarray(pj, np.int32),
+            }
+        return {"kind": "cs", "pair_i": np.zeros(0, np.int32),
+                "pair_j": np.zeros(0, np.int32)}
+    supp = int(np.nonzero(pats.any(axis=0))[0].max()) + 1
+    return {"kind": "dense", "patterns": pats, "support": supp}
+
+
+def _ht_cols(gj, rank_order_cols, k):
+    """First k non-pivot columns in reliability order, [B, k] int32."""
     osd0 = gj["osd0"]
     piv_col = gj["piv_col"]
-    piv_row = gj["piv_row"]
     B, n = osd0.shape
-    R = piv_col.shape[1]
-    if channel_llr.ndim == 1:
-        channel_llr = jnp.broadcast_to(channel_llr, (B, n))
-    channel_llr = channel_llr.astype(jnp.float32)
-
-    pm0 = jnp.sum(channel_llr * osd0, axis=1)
-    K = patterns.shape[0]
-    if K == 0:
-        return osd0, pm0
-
-    # non-pivot columns in reliability order: scatter pivot marks, then sort
     is_piv = jnp.zeros((B, n), bool).at[jnp.arange(B)[:, None], piv_col].set(True)
-    # reliability position of each column
-    order = rank_order_cols  # [B, n] column ids sorted by reliability
-    piv_in_order = jnp.take_along_axis(is_piv, order, axis=1)  # [B, n] bool
-    # indices (into order) of the first k non-pivot entries
+    order = rank_order_cols
+    piv_in_order = jnp.take_along_axis(is_piv, order, axis=1)
     nonpiv_rank = jnp.cumsum((~piv_in_order).astype(jnp.int32), axis=1) - 1
-    # position of t-th non-pivot column in `order`
     slot = jnp.where(~piv_in_order, nonpiv_rank, n)
-    # gather: for t in [0, k): column id
     inv = jnp.full((B, n + 1), 0, jnp.int32).at[
         jnp.arange(B)[:, None], jnp.minimum(slot, n)
     ].set(order)
-    ht_cols = inv[:, :k]  # [B, k] column ids of candidate columns
+    return inv[:, :k]
 
-    # coordinates of each candidate column in the pivot basis:
-    # reduced bit at (piv_row[r], ht_cols[t])
-    reduced = gj["reduced_rows"]  # [B, m, W]
-    w_idx = ht_cols // _W  # [B, k]
-    sh = (ht_cols % _W).astype(_U32)
-    rows_at_piv = jnp.take_along_axis(
-        reduced, piv_row[:, :, None], axis=1
-    )  # [B, R, W]
-    words = jnp.take_along_axis(
-        rows_at_piv, jnp.broadcast_to(w_idx[:, None, :], (B, R, k)), axis=2
-    )  # [B, R, k]
-    coords = ((words >> sh[:, None, :]) & _U32(1)).astype(jnp.int32)  # [B,R,k]
 
-    pats_f = patterns.astype(jnp.int32)  # [K, k]
-    # pivot-bit flips per candidate: coords @ pattern (mod 2)
-    flips = jnp.einsum("brk,ck->bcr", coords, pats_f) % 2  # [B, K, R]
-    y_piv = gj["sol_bits"].astype(jnp.int32)[:, None, :] ^ flips  # [B, K, R]
+def _extract_bitcols(reduced_bm, col_ids_bm):
+    """Bits of per-shot columns from packed rows, without lane gathers.
 
-    llr_piv = jnp.take_along_axis(channel_llr, piv_col, axis=1)  # [B, R]
-    llr_cand = jnp.take_along_axis(channel_llr, ht_cols, axis=1)  # [B, k]
-    # full-f32 contractions: path metrics feed argmin comparisons, so the
-    # default (bf16-multiplicand) matmul precision is not acceptable here
+    reduced_bm: [m, W, B]; col_ids_bm: [T, B] per-lane column ids.
+    Returns [T, m, B] float32 bits — one-hot word selection + per-lane shift.
+    """
+    m, W, B = reduced_bm.shape
+    T = col_ids_bm.shape[0]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)  # [W, 1]
+    cols = []
+    for t in range(T):
+        cid = col_ids_bm[t]  # [B]
+        word_hot = (iota_w == (cid // _W)[None, :]).astype(_U32)  # [W, B]
+        colw = jnp.sum(reduced_bm * word_hot[None, :, :], axis=1)  # [m, B]
+        bits = (colw >> (cid % _W).astype(_U32)[None, :]) & _U32(1)
+        cols.append(bits.astype(jnp.float32))
+    return jnp.stack(cols)  # [T, m, B]
+
+
+def _weighted_bit_sums(reduced_bm, w_rows, n):
+    """a_all[j, b] = sum_i bit(row i, col j) * w_rows[i, b], for all columns.
+
+    One pass per packed word (static unroll, W ~ tens): unpack [m, 32, B]
+    bits and contract the row axis. Total work m*n*B multiply-adds with no
+    gathers and no [.., n] materialization beyond the [n, B] result.
+    """
+    m, W, B = reduced_bm.shape
+    shifts = jnp.arange(_W, dtype=_U32)[None, :, None]  # [1, 32, 1]
     hi = jax.lax.Precision.HIGHEST
-    pm = jnp.einsum(
-        "bcr,br->bc", y_piv.astype(jnp.float32), llr_piv, precision=hi
-    ) + jnp.einsum(
-        "bk,ck->bc", llr_cand, pats_f.astype(jnp.float32), precision=hi
-    )  # [B, K]
+    chunks = []
+    for w_idx in range(W):
+        word = reduced_bm[:, w_idx, :]  # [m, B]
+        bits = ((word[:, None, :] >> shifts) & _U32(1)).astype(jnp.float32)
+        chunks.append(jnp.einsum("msb,mb->sb", bits, w_rows, precision=hi))
+    return jnp.concatenate(chunks, axis=0)[:n]  # [n, B]
 
-    best = jnp.argmin(pm, axis=1)
-    best_pm = jnp.take_along_axis(pm, best[:, None], axis=1)[:, 0]
+
+@partial(jax.jit, static_argnames=("k", "order_w"))
+def _osd_sweep_cs(gj, rank_order_cols, channel_llr, pair_i, pair_j, *, k, order_w):
+    """OSD-CS sweep, batch-minor, no [B, K, R] materialization.
+
+    pm is linear in the flipped pivot bits: flipping candidate column t
+    changes pm by a_t = <coords_t, w> with w_r = llr_piv_r (1 - 2 sol_r),
+    so all k weight-1 candidates cost one weighted bit-sum over the reduced
+    matrix; weight-2 pairs add a small Gram correction over the first
+    ``order_w`` candidate columns.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    osd0 = gj["osd0"]
+    B, n = osd0.shape
+    R = gj["piv_col"].shape[1]
+    reduced = gj["reduced_bm"]  # [m, W, B]
+    m = reduced.shape[0]
+    piv_col_bm = gj["piv_col"].T  # [R, B]
+    piv_row_bm = gj["piv_row"].T
+    sol_bm = gj["sol_bits"].T.astype(jnp.float32)  # [R, B]
+    lane = jnp.arange(B)[None, :]
+
+    llr = channel_llr.astype(jnp.float32)
+    if llr.ndim == 1:
+        llr_bm = jnp.broadcast_to(llr[:, None], (n, B))
+    else:
+        llr_bm = llr.T
+    pm0 = jnp.sum(jnp.where(osd0.T == 1, llr_bm, 0.0), axis=0)  # [B]
+
+    llr_piv = jnp.take_along_axis(llr_bm, piv_col_bm, axis=0)  # [R, B]
+    w = llr_piv * (1.0 - 2.0 * sol_bm)
+    w_rows = jnp.zeros((m, B), jnp.float32).at[piv_row_bm, lane].set(w)
+
+    a_all = _weighted_bit_sums(reduced, w_rows, n)  # [n, B]
+    ht = _ht_cols(gj, rank_order_cols, k)  # [B, k]
+    ht_bm = ht.T  # [k, B]
+    a = jnp.take_along_axis(a_all, ht_bm, axis=0)  # [k, B]
+    llr_cand = jnp.take_along_axis(llr_bm, ht_bm, axis=0)
+    pm_w1 = pm0[None, :] + a + llr_cand  # [k, B]
+
+    P = pair_i.shape[0]
+    if P:
+        sub_cols = _extract_bitcols(reduced, ht_bm[:order_w])  # [ord, m, B]
+        coords_sub = jnp.stack(
+            [
+                jnp.take_along_axis(sub_cols[t], piv_row_bm, axis=0)
+                for t in range(order_w)
+            ]
+        )  # [ord, R, B]
+        gram = jnp.einsum("irb,jrb,rb->ijb", coords_sub, coords_sub, w,
+                          precision=hi)  # [ord, ord, B]
+        pm_w2 = (
+            pm0[None, :]
+            + a[pair_i] + a[pair_j]
+            - 2.0 * gram[pair_i, pair_j]
+            + llr_cand[pair_i] + llr_cand[pair_j]
+        )  # [P, B]
+        pm = jnp.concatenate([pm_w1, pm_w2], axis=0)  # [k+P, B]
+    else:
+        pm = pm_w1
+
+    best = jnp.argmin(pm, axis=0).astype(jnp.int32)  # [B]
+    best_pm = jnp.min(pm, axis=0)
     use_cand = best_pm < pm0
 
-    best_y = jnp.take_along_axis(
-        y_piv, best[:, None, None].astype(jnp.int32), axis=1
-    )[:, 0]  # [B, R]
-    best_pat = patterns[best]  # [B, k]
-    sol = jnp.zeros((B, n), jnp.uint8)
-    sol = sol.at[jnp.arange(B)[:, None], piv_col].set(best_y.astype(jnp.uint8))
-    sol = sol.at[jnp.arange(B)[:, None], ht_cols].set(best_pat.astype(jnp.uint8))
-    solution = jnp.where(use_cand[:, None], sol, osd0)
+    # winner columns (1 or 2); reconstruct only those
+    is_pair = best >= k
+    p_idx = jnp.clip(best - k, 0, max(P - 1, 0))
+    t1 = jnp.where(is_pair, pair_i[p_idx] if P else 0, best)
+    t2 = jnp.where(is_pair, pair_j[p_idx] if P else 0, 0)
+    c1 = jnp.take_along_axis(ht_bm, t1[None, :], axis=0)[0]  # [B] col ids
+    c2 = jnp.take_along_axis(ht_bm, t2[None, :], axis=0)[0]
+    win_cols = _extract_bitcols(reduced, jnp.stack([c1, c2]))  # [2, m, B]
+    f1 = jnp.take_along_axis(win_cols[0], piv_row_bm, axis=0)
+    f2 = jnp.take_along_axis(win_cols[1], piv_row_bm, axis=0)
+    flip = jnp.mod(f1 + jnp.where(is_pair[None, :], f2, 0.0), 2.0)
+    y = jnp.mod(sol_bm + flip, 2.0)  # [R, B]
+
+    out = jnp.zeros((n + 1, B), jnp.uint8)
+    out = out.at[piv_col_bm, lane].set(y.astype(jnp.uint8))
+    out = out.at[c1[None, :], lane].set(jnp.uint8(1))
+    c2_or_pad = jnp.where(is_pair, c2, n)  # pad row swallows non-pairs
+    out = out.at[c2_or_pad[None, :], lane].set(jnp.uint8(1))
+    solution = jnp.where(use_cand[:, None], out[:n].T, osd0)
+    min_pm = jnp.minimum(pm0, best_pm)
+    return solution, min_pm
+
+
+@partial(jax.jit, static_argnames=("k", "supp"))
+def _osd_sweep_dense(gj, rank_order_cols, channel_llr, patterns, *, k, supp):
+    """Generic small-support sweep (OSD-E): dense over the support prefix."""
+    hi = jax.lax.Precision.HIGHEST
+    osd0 = gj["osd0"]
+    B, n = osd0.shape
+    reduced = gj["reduced_bm"]
+    piv_col_bm = gj["piv_col"].T
+    piv_row_bm = gj["piv_row"].T
+    sol_bm = gj["sol_bits"].T.astype(jnp.float32)
+    lane = jnp.arange(B)[None, :]
+
+    llr = channel_llr.astype(jnp.float32)
+    llr_bm = (
+        jnp.broadcast_to(llr[:, None], (n, B)) if llr.ndim == 1 else llr.T
+    )
+    pm0 = jnp.sum(jnp.where(osd0.T == 1, llr_bm, 0.0), axis=0)
+    llr_piv = jnp.take_along_axis(llr_bm, piv_col_bm, axis=0)
+    w = llr_piv * (1.0 - 2.0 * sol_bm)
+
+    ht = _ht_cols(gj, rank_order_cols, k)
+    ht_bm = ht.T
+    sub_cols = _extract_bitcols(reduced, ht_bm[:supp])  # [supp, m, B]
+    coords_sub = jnp.stack(
+        [jnp.take_along_axis(sub_cols[t], piv_row_bm, axis=0) for t in range(supp)]
+    )  # [supp, R, B]
+    llr_cand = jnp.take_along_axis(llr_bm, ht_bm[:supp], axis=0)  # [supp, B]
+
+    p_sub = patterns[:, :supp].astype(jnp.float32)  # [K, supp]
+    flips = jnp.mod(
+        jnp.einsum("ck,krb->crb", p_sub, coords_sub, precision=hi), 2.0
+    )  # [K, R, B]
+    pm = (
+        pm0[None, :]
+        + jnp.einsum("crb,rb->cb", flips, w, precision=hi)
+        + jnp.einsum("ck,kb->cb", p_sub, llr_cand, precision=hi)
+    )
+
+    best = jnp.argmin(pm, axis=0).astype(jnp.int32)
+    best_pm = jnp.min(pm, axis=0)
+    use_cand = best_pm < pm0
+
+    best_pat = jnp.take(patterns, best, axis=0).T.astype(jnp.float32)  # [k, B]
+    flip_best = jnp.mod(
+        jnp.einsum("kb,krb->rb", best_pat[:supp], coords_sub, precision=hi), 2.0
+    )
+    y = jnp.mod(sol_bm + flip_best, 2.0)
+    out = jnp.zeros((n, B), jnp.uint8)
+    out = out.at[piv_col_bm, lane].set(y.astype(jnp.uint8))
+    out = out.at[ht_bm, lane].set(best_pat.astype(jnp.uint8))
+    solution = jnp.where(use_cand[:, None], out.T, osd0)
     min_pm = jnp.minimum(pm0, best_pm)
     return solution, min_pm
 
@@ -332,6 +476,8 @@ def osd_decode(
 
     ``reliability``: [B, n] float — smaller = more likely in error = tried
     first (the reference sorts ascending llr_sum, osd_window.pyx:215).
+    ``patterns`` may be a numpy or device array; its structure is analyzed
+    on the host once per call (host-side, cheap).
     """
     order = jnp.argsort(reliability, axis=1, stable=True).astype(jnp.int32)
     B, n_ = order.shape
@@ -341,7 +487,26 @@ def osd_decode(
         .set(jnp.broadcast_to(jnp.arange(n_, dtype=jnp.int32), (B, n_)))
     )
     gj = ordered_gauss_jordan(H_words, syndrome, rank_pos, m=m, n=n, rank=rank)
-    solution, min_pm = osd_sweep(gj, order, channel_llr, patterns, k=k)
+
+    meta = analyze_patterns(np.asarray(patterns), k)
+    if meta["kind"] == "none" or k == 0:
+        llr = channel_llr.astype(jnp.float32)
+        if llr.ndim == 1:
+            llr = jnp.broadcast_to(llr, gj["osd0"].shape)
+        pm0 = jnp.sum(llr * gj["osd0"], axis=1)
+        solution, min_pm = gj["osd0"], pm0
+    elif meta["kind"] == "cs":
+        pi, pj = meta["pair_i"], meta["pair_j"]
+        order_w = int(pj.max()) + 1 if len(pj) else 0
+        solution, min_pm = _osd_sweep_cs(
+            gj, order, channel_llr, jnp.asarray(pi), jnp.asarray(pj),
+            k=k, order_w=order_w,
+        )
+    else:
+        solution, min_pm = _osd_sweep_dense(
+            gj, order, channel_llr, jnp.asarray(meta["patterns"]),
+            k=k, supp=meta["support"],
+        )
     return {
         "solution": solution,
         "osd0": gj["osd0"],
