@@ -83,12 +83,12 @@ def main() -> None:
         )
     )
 
-    # warmup on a small slice: compiles every kernel shape
-    log("warmup (compiling kernels) ...")
+    # warmup at the FULL batch size: every kernel shape of the timed run
+    # (BP phases, OSD buckets, feedback mat-muls) gets compiled here
+    log("warmup (compiling kernels at full batch size) ...")
     t0 = time.perf_counter()
-    warm = min(64, shots)
     decode_sliding_window(
-        plan, det[:warm], factory, verbose=False, collect_window_stats=False
+        plan, det, factory, verbose=False, collect_window_stats=False
     )
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 

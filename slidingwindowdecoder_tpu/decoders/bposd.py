@@ -174,7 +174,7 @@ class BPOSD:
             return jnp.asarray(g), jnp.asarray(s)
 
         if it_b > 0 and len(todo):
-            bucket = min(pad_pow2(len(todo), floor=32), max(32, self.osd_bucket))
+            bucket = max(32, self.osd_bucket)  # fixed shape: one compile
             for lo in range(0, len(todo), bucket):
                 chunk = todo[lo : lo + bucket]
                 g_idx, s_idx = bucket_indices(chunk, bucket)
@@ -208,7 +208,7 @@ class BPOSD:
             # written by their final BP call
             last_call_iters = it_b if it_b > 0 else it_a
             rel = self._reliability(history, last_call_iters)
-            bucket = min(self.osd_bucket, pad_pow2(len(todo)))
+            bucket = max(32, self.osd_bucket)  # fixed shape: one compile
             for lo in range(0, len(todo), bucket):
                 chunk = todo[lo : lo + bucket]
                 g_idx, s_idx = bucket_indices(chunk, bucket)

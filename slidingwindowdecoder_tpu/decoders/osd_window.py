@@ -117,7 +117,7 @@ class OSDWindow:
 
         for lo in range(0, len(todo), self.bucket):
             chunk = todo[lo : lo + self.bucket]
-            bucket = min(self.bucket, pad_pow2(len(chunk), floor=32))
+            bucket = self.bucket  # fixed shape: one compile
             g = np.full(bucket, int(chunk[0]), dtype=np.int32)
             g[: len(chunk)] = chunk
             s = np.full(bucket, B, dtype=np.int32)

@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from slidingwindowdecoder_tpu.codes import bb_code_by_n
+from slidingwindowdecoder_tpu.decoders.bp4 import BP4OSD
+
+
+def depolarizing_samples(code, p, shots, rng):
+    """iid depolarizing: each qubit gets I/X/Y/Z with prob (1-p, p/3 each)."""
+    r = rng.random((shots, code.N))
+    which = (r < p) * (1 + (r * 3 / p).astype(np.int8) % 3)  # 0..3 = I,X,Y,Z
+    ex = ((which == 1) | (which == 2)).astype(np.uint8)
+    ez = ((which == 2) | (which == 3)).astype(np.uint8)
+    synd_x = (ez @ code.hx.T) % 2
+    synd_z = (ex @ code.hz.T) % 2
+    return ex, ez, synd_x, synd_z
+
+
+@pytest.fixture(scope="module")
+def bb72():
+    code, _, _ = bb_code_by_n(72)
+    return code
+
+
+@pytest.fixture(scope="module")
+def dec72(bb72):
+    p = 0.06
+    probs = np.full(bb72.N, p / 3)
+    return BP4OSD(
+        bb72.hx,
+        bb72.hz,
+        channel_probs_x=probs,
+        channel_probs_y=probs,
+        channel_probs_z=probs,
+        max_iter=32,
+        ms_scaling_factor=0.9,
+        osd_method="osd_cs",
+        osd_order=4,
+    )
+
+
+def test_bp4_syndrome_consistency(bb72, dec72, rng):
+    p = 0.06
+    ex, ez, sx, sz = depolarizing_samples(bb72, p, 48, rng)
+    res = dec72.decode_batch(sx, sz)
+    err_x, err_z = res.error[:, 0], res.error[:, 1]
+    # all outputs (BP-converged or OSD) must satisfy both syndrome equations
+    assert np.array_equal((err_z @ bb72.hx.T) % 2, sx)
+    assert np.array_equal((err_x @ bb72.hz.T) % 2, sz)
+    assert res.converged.mean() > 0.3
+
+
+def test_bp4_corrects_single_qubit_paulis(bb72, dec72):
+    for pauli, (x, z) in {"X": (1, 0), "Z": (0, 1), "Y": (1, 1)}.items():
+        ex = np.zeros(bb72.N, dtype=np.uint8)
+        ez = np.zeros(bb72.N, dtype=np.uint8)
+        ex[7], ez[7] = x, z
+        sx = (ez @ bb72.hx.T) % 2
+        sz = (ex @ bb72.hz.T) % 2
+        res = dec72.decode_batch(sx[None], sz[None])
+        dx = (res.error[0, 0] + ex) % 2
+        dz = (res.error[0, 1] + ez) % 2
+        # residual must be a stabilizer (no logical component)
+        assert not ((dz @ bb72.hx_perp.T) % 2).any(), pauli
+        assert not ((dx @ bb72.hz_perp.T) % 2).any(), pauli
+
+
+def test_bp4_logical_error_rate(bb72, dec72, rng):
+    p = 0.06
+    ex, ez, sx, sz = depolarizing_samples(bb72, p, 256, rng)
+    res = dec72.decode_batch(sx, sz)
+    dx = (res.error[:, 0] + ex) % 2
+    dz = (res.error[:, 1] + ez) % 2
+    logical = ((dz @ bb72.hx_perp.T) % 2).any(axis=1) | (
+        (dx @ bb72.hz_perp.T) % 2
+    ).any(axis=1)
+    assert logical.mean() < 0.2
+
+
+def test_camel_decode(bb72, dec72, rng):
+    p = 0.05
+    ex, ez, sx, sz = depolarizing_samples(bb72, p, 16, rng)
+    res = dec72.camel_decode(sx, sz)
+    err_x, err_z = res.error[:, 0], res.error[:, 1]
+    ok = res.converged
+    # converged branches satisfy the syndromes
+    assert np.array_equal((err_z[ok] @ bb72.hx.T) % 2, sx[ok])
+    assert np.array_equal((err_x[ok] @ bb72.hz.T) % 2, sz[ok])
+    assert ok.mean() > 0.5
