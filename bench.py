@@ -54,7 +54,7 @@ def main() -> None:
             144,
             12,
             3,
-            args.shots or 4096,
+            args.shots or 16384,
             args.max_iter,
             10,
         )

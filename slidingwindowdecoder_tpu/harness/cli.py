@@ -1,0 +1,146 @@
+"""Command-line entry point.
+
+The reference is driven by editing notebook cells; this CLI exposes the
+main experiment drivers with typed flags:
+
+  python -m slidingwindowdecoder_tpu.harness.cli sliding-window \
+      --N 144 --p 0.004 --rounds 12 --shots 10000 -W 3 -F 1
+  python -m slidingwindowdecoder_tpu.harness.cli gdg-window --N 144 ...
+  python -m slidingwindowdecoder_tpu.harness.cli code-capacity --N 288 ...
+  python -m slidingwindowdecoder_tpu.harness.cli shyps --r 3 --window ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="slidingwindowdecoder_tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--shots", type=int, default=10000)
+        p.add_argument("--seed", type=int, default=None)
+        p.add_argument("--json", type=str, default=None, help="result file")
+        p.add_argument("--quiet", action="store_true")
+
+    sw = sub.add_parser("sliding-window", help="BB circuit-level SW BP+OSD (osd.py)")
+    sw.add_argument("--N", type=int, default=144)
+    sw.add_argument("--p", type=float, default=0.004)
+    sw.add_argument("--rounds", type=int, default=12)
+    sw.add_argument("-W", type=int, default=3)
+    sw.add_argument("-F", type=int, default=1)
+    sw.add_argument("--max-iter", type=int, default=200)
+    sw.add_argument("--method", type=int, default=1)
+    sw.add_argument("--osd-method", default="osd_cs")
+    sw.add_argument("--osd-order", type=int, default=10)
+    sw.add_argument("--shorten", action="store_true")
+    sw.add_argument("--x-basis", action="store_true")
+    common(sw)
+
+    gw = sub.add_parser("gdg-window", help="BB circuit-level SW GDG (guessing.py)")
+    gw.add_argument("--N", type=int, default=144)
+    gw.add_argument("--p", type=float, default=0.005)
+    gw.add_argument("--rounds", type=int, default=12)
+    gw.add_argument("-W", type=int, default=3)
+    gw.add_argument("-F", type=int, default=1)
+    gw.add_argument("--max-iter", type=int, default=200)
+    gw.add_argument("--last-win-osd", action="store_true")
+    gw.add_argument("--low-error-mode", action="store_true")
+    common(gw)
+
+    cc = sub.add_parser("code-capacity", help="data-qubit noise (simulation.py)")
+    cc.add_argument("--N", type=int, default=144)
+    cc.add_argument("--p", type=float, default=0.02)
+    cc.add_argument("--decoder", choices=["bposd", "gdg", "bpgd"], default="bposd")
+    cc.add_argument("--osd-order", type=int, default=10)
+    cc.add_argument("--scaling-factor", type=float, default=0.625)
+    cc.add_argument("--batch", type=int, default=4096)
+    common(cc)
+
+    sh = sub.add_parser("shyps", help="SHYPS memory experiment (SHYPS.ipynb)")
+    sh.add_argument("--r", type=int, default=3)
+    sh.add_argument("--p", type=float, default=0.001)
+    sh.add_argument("--rounds", type=int, default=4)
+    sh.add_argument("--window", action="store_true")
+    sh.add_argument("-W", type=int, default=3)
+    sh.add_argument("-F", type=int, default=1)
+    sh.add_argument("--osd-order", type=int, default=0)
+    common(sh)
+
+    args = ap.parse_args(argv)
+    verbose = not args.quiet
+
+    if args.command == "sliding-window":
+        from .circuit_level import sliding_window_decoder
+
+        res = sliding_window_decoder(
+            N=args.N, p=args.p, num_repeat=args.rounds, num_shots=args.shots,
+            max_iter=args.max_iter, W=args.W, F=args.F, method=args.method,
+            z_basis=not args.x_basis, shorten=args.shorten,
+            osd_method=args.osd_method, osd_order=args.osd_order,
+            seed=args.seed, verbose=verbose,
+        )
+    elif args.command == "gdg-window":
+        from .circuit_level import sliding_window_gdg
+
+        res = sliding_window_gdg(
+            N=args.N, p=args.p, num_repeat=args.rounds, num_shots=args.shots,
+            max_iter=args.max_iter, W=args.W, F=args.F,
+            last_win_osd=args.last_win_osd, low_error_mode=args.low_error_mode,
+            seed=args.seed, verbose=verbose,
+        )
+        res.pop("total_e_hat_osd", None)
+    elif args.command == "code-capacity":
+        from ..codes import bb_code_by_n
+        from ..decoders import BPGD, BPOSD, GDG
+        from .code_capacity import data_qubit_noise_decoding
+
+        code, _, _ = bb_code_by_n(args.N)
+        import numpy as np
+
+        priors = np.full(code.N, args.p)
+        if args.decoder == "bposd":
+            dec = BPOSD(code.hx, priors, max_iter=100,
+                        ms_scaling_factor=args.scaling_factor,
+                        osd_method="osd_cs", osd_order=args.osd_order)
+        elif args.decoder == "gdg":
+            dec = GDG(code.hx, priors, max_iter=24,
+                      ms_scaling_factor=args.scaling_factor,
+                      gdg_factor=args.scaling_factor, max_step=40,
+                      max_tree_depth=4, max_side_depth=20,
+                      max_tree_branch_step=30, max_side_branch_step=20,
+                      new_n=code.N, low_error_mode=True)
+        else:
+            dec = BPGD(code.hx, priors, max_iter=24,
+                       ms_scaling_factor=args.scaling_factor,
+                       gd_factor=args.scaling_factor, max_step=40,
+                       new_n=code.N)
+        res = data_qubit_noise_decoding(
+            code, args.p, args.shots, {args.decoder: dec},
+            batch_size=args.batch, seed=args.seed, verbose=verbose,
+        )
+    elif args.command == "shyps":
+        from .shyps import decode_shyps
+
+        res = decode_shyps(
+            r=args.r, p=args.p, num_repeat=args.rounds, num_shots=args.shots,
+            osd_order=args.osd_order, window=args.window, W=args.W, F=args.F,
+            seed=args.seed, verbose=verbose,
+        )
+    else:  # pragma: no cover
+        ap.error(f"unknown command {args.command}")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(res, f, indent=2, default=str)
+    elif not verbose:
+        print(json.dumps(res, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,7 +35,7 @@ def shard_decode_step(mesh, mat, prior, syndromes, *, num_iter: int = 32,
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     from ..graphs.tanner import compile_graph, graph_device_arrays
     from ..ops.bp import decode_bp
@@ -89,7 +89,7 @@ def shard_decode_step(mesh, mat, prior, syndromes, *, num_iter: int = 32,
         mesh=mesh,
         in_specs=(P(axis, None),),
         out_specs=(P(axis, None), P()),
-        check_rep=False,
+        check_vma=False,
     )
     error, num_errors = jax.jit(sharded)(jnp.asarray(syndromes, jnp.uint8))
     return {"error": error, "num_errors": num_errors}
