@@ -152,6 +152,87 @@ def sliding_window_decoder(
     return result
 
 
+def global_decoder(
+    N: int = 144,
+    p: float = 0.004,
+    num_repeat: int = 12,
+    num_shots: int = 10000,
+    max_iter: int = 200,
+    *,
+    z_basis: bool = True,
+    osd_method: str = "osd_cs",
+    osd_order: int = 10,
+    ms_scaling_factor: float = 1.0,
+    shorten: bool = False,
+    seed: int | None = None,
+    verbose: bool = True,
+):
+    """Whole-block (non-windowed) decoding of the full DEM check matrix.
+
+    The IBM.ipynb Fig.3 reproduction path (cells 3-5): BP+OSD-CS-10 on the
+    full 936x8784 matrix for [[144]]x12; ``shorten=True`` uses the
+    osd_window decoder instead (cell 5).
+    """
+    import jax.numpy as jnp
+
+    code, A_list, B_list = bb_code_by_n(N)
+    circuit = build_bb_memory_circuit(
+        code, A_list, B_list, p, num_repeat, z_basis=z_basis
+    )
+    dem = compile_dem(circuit)
+    rng = np.random.default_rng(seed)
+    det, obs, _ = sample_dem_numpy(dem, num_shots, rng)
+
+    if shorten:
+        from ..decoders.osd_window import OSDWindow
+
+        dec = OSDWindow(
+            dem.chk, dem.priors, pre_max_iter=8, post_max_iter=max_iter,
+            ms_scaling_factor=ms_scaling_factor, osd_method=osd_method,
+            osd_order=osd_order,
+        )
+    else:
+        dec = BPOSD(
+            dem.chk, dem.priors, max_iter=max_iter,
+            ms_scaling_factor=ms_scaling_factor, osd_method=osd_method,
+            osd_order=osd_order,
+        )
+    t0 = time.perf_counter()
+    out = dec.decode_batch_device(jnp.asarray(det))
+    e_hat = out["error"]
+    chk_t = jnp.asarray(dem.chk.T, jnp.float32)
+    obs_t = jnp.asarray(dem.obs.T, jnp.float32)
+    resid = (
+        jnp.mod(jnp.dot(e_hat.astype(jnp.float32), chk_t), 2.0).astype(jnp.uint8)
+        ^ jnp.asarray(det)
+    ).any(axis=1)
+    logical = (
+        jnp.mod(jnp.dot(e_hat.astype(jnp.float32), obs_t), 2.0).astype(jnp.uint8)
+        ^ jnp.asarray(obs)
+    ).any(axis=1)
+    num_failed = int(jnp.sum(resid | logical))
+    seconds = time.perf_counter() - t0
+    p_l = num_failed / num_shots
+    result = {
+        "N": N,
+        "p": p,
+        "num_shots": num_shots,
+        "num_flagged": int(jnp.sum(resid)),
+        "num_failed": num_failed,
+        "ler": p_l,
+        "ler_per_round": 1 - (1 - p_l) ** (1 / num_repeat),
+        "decode_seconds": seconds,
+        "shots_per_sec": num_shots / seconds,
+    }
+    if verbose:
+        print(
+            f"global: {num_failed}/{num_shots} failed, "
+            f"LER/r {result['ler_per_round']:.3e} "
+            f"({result['shots_per_sec']:.1f} shots/s)"
+        )
+    return result
+
+
 def sliding_window_gdg(
     N: int = 144,
     p: float = 0.005,
