@@ -79,7 +79,7 @@ def main() -> None:
             ms_scaling_factor=1.0,
             osd_method="osd_cs",
             osd_order=osd_order,
-            osd_bucket=512,
+            osd_bucket=1024,
         )
     )
 

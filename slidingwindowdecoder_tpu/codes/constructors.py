@@ -15,7 +15,7 @@ from functools import reduce
 
 import numpy as np
 
-from ..utils.gf2 import int2bin, rank
+from ..utils.gf2 import int2bin
 from .css import CSSCode
 from .polynomials import generate_log_antilog_tables, get_primitive_polynomial
 

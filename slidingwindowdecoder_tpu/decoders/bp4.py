@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graphs.tanner import compile_graph, graph_device_arrays
-from ..ops.bp4 import bp4_init_messages, bp4_run, log1pexp
+from ..ops.bp4 import bp4_init_messages, bp4_run
 from ..ops.gf2_solve import (
     gf2_rank_packed,
     osd_candidate_patterns,

@@ -23,7 +23,6 @@ Throughput structure (this is the hot path of the whole framework):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,7 +34,7 @@ from ..ops.gf2_solve import (
     osd_decode,
     pack_rows_host,
 )
-from .base import DecodeResult, as_batch, pad_pow2
+from .base import DecodeResult, as_batch
 
 
 class BPOSD:

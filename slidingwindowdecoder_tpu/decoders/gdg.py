@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graphs.tanner import compile_graph, graph_device_arrays
-from ..ops.bp import bp_init_messages, bp_run, check_syndrome, decode_bp, fresh_bp_state
+from ..ops.bp import bp_init_messages, bp_run, decode_bp, fresh_bp_state
 from ..ops.decimation import (
     init_decimation_state,
     peel,

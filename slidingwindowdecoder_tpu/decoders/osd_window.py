@@ -26,7 +26,7 @@ from ..ops.gf2_solve import (
     osd_decode,
     pack_rows_host,
 )
-from .base import DecodeResult, as_batch, pad_pow2
+from .base import DecodeResult, as_batch
 
 PIN = 1000.0  # reliability pin for decided columns (osd_window.pyx:205-213)
 

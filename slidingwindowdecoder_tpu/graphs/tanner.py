@@ -15,8 +15,7 @@ pointer chasing per edge, message updates become masked vector ops over
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import cached_property
+from dataclasses import dataclass
 
 import numpy as np
 

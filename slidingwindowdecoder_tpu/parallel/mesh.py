@@ -8,8 +8,6 @@ whole Monte-Carlo scales over ICI/DCN with one ``psum`` per batch.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 SHOTS_AXIS = "shots"

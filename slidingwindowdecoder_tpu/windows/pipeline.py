@@ -79,17 +79,25 @@ def decode_sliding_window(
             window_flagged.append(int(jnp.sum(resid)))
 
         if spec.is_last:
+            ncommit = spec.col_end - spec.col_start
+            committed = e_hat[:, :ncommit]
             total_e_hat = total_e_hat.at[:, spec.col_start : spec.col_end].set(
-                e_hat[:, : spec.col_end - spec.col_start]
+                committed
             )
         else:
             ncommit = spec.commit_col_end - spec.col_start
+            committed = e_hat[:, :ncommit]
             total_e_hat = total_e_hat.at[
                 :, spec.col_start : spec.commit_col_end
-            ].set(e_hat[:, :ncommit])
+            ].set(committed)
 
-        # feedback: subtract all committed corrections from the raw detectors
-        new_det = det ^ _gf2_matmul(total_e_hat, chk_t_f32)
+        # feedback: XOR only the newly committed columns' syndrome
+        # contribution into the corrected detectors (incremental form of
+        # osd.py:178's full re-multiplication)
+        new_det = new_det ^ _gf2_matmul(
+            committed,
+            chk_t_f32[spec.col_start : spec.col_start + ncommit],
+        )
         dt = time.perf_counter() - t0
         window_seconds.append(dt)
         if verbose:
