@@ -74,6 +74,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
     verbose = not args.quiet
 
+    try:
+        return _dispatch(ap, args, verbose)
+    except ValueError as exc:
+        ap.exit(2, f"error: {exc}\n")
+
+
+def _dispatch(ap, args, verbose):
+
     if args.command == "sliding-window":
         from .circuit_level import sliding_window_decoder
 
