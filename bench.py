@@ -80,6 +80,7 @@ def main() -> None:
             osd_method="osd_cs",
             osd_order=osd_order,
             osd_bucket=1024,
+            msg_dtype="bfloat16",
         )
     )
 

@@ -66,6 +66,7 @@ class BPOSD:
         clip: float = 50.0,
         osd_bucket: int = 512,
         phase_a_iters: int | None = 24,
+        msg_dtype: str = "float32",
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -80,6 +81,7 @@ class BPOSD:
         if reliability not in ("last", "history_sum"):
             raise ValueError("reliability must be 'last' or 'history_sum'")
         self.reliability = reliability
+        self.msg_dtype = str(msg_dtype)
         if phase_a_iters is None or phase_a_iters >= self.max_iter:
             self.phase_iters = (self.max_iter, 0)
         else:
@@ -136,6 +138,7 @@ class BPOSD:
             num_iter=num_iter,
             alpha=self.alpha,
             clip=self.clip,
+            msg_dtype=self.msg_dtype,
         )
 
     def _reliability(self, history, total_iters: int):

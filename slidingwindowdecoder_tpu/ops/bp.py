@@ -49,12 +49,8 @@ def bp_init_messages(garr, prior_llr, batch: int):
     return prior_pad[:, cn_vn]  # [B, m, dc]
 
 
-def _gather_flat(flat_pad, perm):
-    """take with a static permutation along the trailing (edge) axis."""
-    return jnp.take(flat_pad, perm, axis=-1)
-
-
-def bp_iteration_bm(garr, mv, prior_llr_t, vn_state_t, cn_state_t, *, alpha, clip):
+def bp_iteration_bm(garr, mv, prior_llr_t, vn_state_t, cn_state_t, *, alpha, clip,
+                    msg_dtype=jnp.float32):
     """One min-sum iteration in batch-minor layout.
 
     Batch lives on the LAST (lane) axis: ``mv`` is [m, dc, B], priors and
@@ -70,7 +66,7 @@ def bp_iteration_bm(garr, mv, prior_llr_t, vn_state_t, cn_state_t, *, alpha, cli
     B = mv.shape[-1]
 
     # ---- CN update ---------------------------------------------------------
-    mvc = jnp.clip(mv, -clip, clip)
+    mvc = jnp.clip(mv.astype(jnp.float32), -clip, clip)
     vn_state_pad = jnp.concatenate(
         [vn_state_t, jnp.zeros((1, B), vn_state_t.dtype)], axis=0
     )
@@ -95,14 +91,18 @@ def bp_iteration_bm(garr, mv, prior_llr_t, vn_state_t, cn_state_t, *, alpha, cli
     mc = jnp.where(edge_valid, mc, 0.0)
 
     # ---- VN update ---------------------------------------------------------
+    # messages cross the two layout gathers (the bandwidth hot spot) in
+    # msg_dtype; all arithmetic stays float32
+    mc_g = mc.astype(msg_dtype)
     mc_flat = jnp.concatenate(
-        [mc.reshape(m * dc, B), jnp.zeros((1, B), mc.dtype)], axis=0
+        [mc_g.reshape(m * dc, B), jnp.zeros((1, B), msg_dtype)], axis=0
     )
     mcv = jnp.take(mc_flat, garr["vn_from_cn"], axis=0).reshape(n, dv, B)
+    mcv = mcv.astype(jnp.float32)
     posterior = prior_llr_t + jnp.sum(mcv, axis=1)  # [n, B]
-    mvv = posterior[:, None, :] - mcv
+    mvv = (posterior[:, None, :] - mcv).astype(msg_dtype)
     mvv_flat = jnp.concatenate(
-        [mvv.reshape(n * dv, B), jnp.zeros((1, B), mvv.dtype)], axis=0
+        [mvv.reshape(n * dv, B), jnp.zeros((1, B), msg_dtype)], axis=0
     )
     mv_new = jnp.take(mvv_flat, garr["cn_from_vn"], axis=0).reshape(m, dc, B)
 
@@ -124,7 +124,7 @@ def check_syndrome(garr, error):
     return _check_syndrome_bm(garr, error.T).T
 
 
-@partial(jax.jit, static_argnames=("num_iter", "alpha", "clip"))
+@partial(jax.jit, static_argnames=("num_iter", "alpha", "clip", "msg_dtype"))
 def bp_run(
     garr,
     mv,
@@ -140,6 +140,7 @@ def bp_run(
     num_iter: int,
     alpha: float = 1.0,
     clip: float = 50.0,
+    msg_dtype: str = "float32",
 ):
     """Run up to ``num_iter`` BP iterations with per-shot convergence freeze.
 
@@ -156,8 +157,9 @@ def bp_run(
         prior_t = jnp.broadcast_to(prior_llr[:, None], (n, B))
     else:
         prior_t = prior_llr.T
+    mdt = jnp.dtype(msg_dtype)
     # batch-minor internal layout: shots on the lane axis
-    mv_t = jnp.transpose(mv, (1, 2, 0))
+    mv_t = jnp.transpose(mv, (1, 2, 0)).astype(mdt)
     hist_t = jnp.transpose(history, (1, 2, 0))  # [n, 4, B]
     err_t = error.T
     vn_state_t = vn_state.T
@@ -170,7 +172,8 @@ def bp_run(
     def body(state):
         i, mv, hist, err, done, iters = state
         mv_new, posterior, err_new = bp_iteration_bm(
-            garr, mv, prior_t, vn_state_t, cn_state_t, alpha=alpha, clip=clip
+            garr, mv, prior_t, vn_state_t, cn_state_t, alpha=alpha, clip=clip,
+            msg_dtype=mdt,
         )
         active = ~done  # shots still iterating at the START of this iteration
         mv = jnp.where(active[None, None, :], mv_new, mv)
@@ -187,7 +190,7 @@ def bp_run(
     state = (jnp.int32(0), mv_t, hist_t, err_t, done, iters)
     _, mv_t, hist_t, err_t, done, iters = jax.lax.while_loop(cond, body, state)
     return (
-        jnp.transpose(mv_t, (2, 0, 1)),
+        jnp.transpose(mv_t, (2, 0, 1)).astype(jnp.float32),
         jnp.transpose(hist_t, (2, 0, 1)),
         err_t.T,
         done,
@@ -216,6 +219,7 @@ def decode_bp(
     clip: float = 50.0,
     vn_state=None,
     cn_state=None,
+    msg_dtype: str = "float32",
 ):
     """Plain (unmasked) batched BP decode from scratch.
 
@@ -244,6 +248,7 @@ def decode_bp(
         num_iter=num_iter,
         alpha=alpha,
         clip=clip,
+        msg_dtype=msg_dtype,
     )
     return {
         "error": error,

@@ -187,3 +187,13 @@ def test_phenomenological_circuit():
     dem = compile_dem(circ)
     assert circ.num_detectors == 36 * 4
     assert dem.num_faults > 0
+
+
+def test_builder_variants_compile():
+    # use_both and HZH schedule variants produce valid DEMs
+    code, A, B = bb_code_by_n(72)
+    for kw in ({"use_both": True}, {"HZH": True}, {"z_basis": False, "use_both": True}):
+        circ = build_bb_memory_circuit(code, A, B, p=0.005, num_repeat=2, **kw)
+        dem = compile_dem(circ)
+        assert dem.num_faults > 0
+        assert dem.chk.sum(axis=1).min() > 0

@@ -124,3 +124,10 @@ def test_alist_roundtrip(tmp_path, rng):
     path = str(tmp_path / "m.alist")
     write_alist(path, mat)
     assert np.array_equal(read_alist(path), mat)
+
+
+@pytest.mark.parametrize("N,K", [(108, 8), (360, 12), (756, 16)])
+def test_large_bb_codes(N, K):
+    code, _, _ = bb_code_by_n(N)
+    assert code.N == N and code.K == K
+    check_css_invariants(code)
