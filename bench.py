@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--shots", type=int, default=None)
     ap.add_argument("--max-iter", type=int, default=200)
     ap.add_argument("--seed", type=int, default=2024)
+    ap.add_argument(
+        "--profile", type=str, default=None,
+        help="write a jax.profiler trace of the timed run to this directory",
+    )
     args = ap.parse_args()
 
     import jax
@@ -94,10 +98,19 @@ def main() -> None:
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     log(f"timed run: {shots} shots ...")
-    t0 = time.perf_counter()
-    out = decode_sliding_window(
-        plan, det, factory, verbose=False, collect_window_stats=False
+    import contextlib
+
+    trace_ctx = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
     )
+    t0 = time.perf_counter()
+    with trace_ctx:
+        out = decode_sliding_window(
+            plan, det, factory, verbose=False, collect_window_stats=False
+        )
+        jax.block_until_ready(out["total_e_hat"])
     dt = time.perf_counter() - t0
     ev = evaluate_logical_errors(plan, det, obs, out["total_e_hat"])
     shots_per_sec = shots / dt

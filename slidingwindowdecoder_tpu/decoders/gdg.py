@@ -101,7 +101,8 @@ def build_branch_tables(
 
 @partial(
     jax.jit,
-    static_argnames=("num_iter", "D_max", "NB", "alpha", "clip", "low_error_mode"),
+    static_argnames=("num_iter", "D_max", "NB", "alpha", "clip", "low_error_mode",
+                     "msg_dtype"),
 )
 def gdg_ensemble(
     garr,
@@ -123,6 +124,7 @@ def gdg_ensemble(
     alpha: float,
     clip: float,
     low_error_mode: bool,
+    msg_dtype: str = "float32",
 ):
     """Run the branch ensemble; returns per-shot best error / pm / converged."""
     BK, m = syndrome.shape
@@ -158,6 +160,7 @@ def gdg_ensemble(
         mv, history, error, bp_done, iters = bp_run(
             garr, mv, llr_b, synd, vn_state, cn_state, history, error,
             ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
+            msg_dtype=msg_dtype,
         )
         newly_conv = bp_done & active
         pm = jnp.sum(llr_b * (error == 1), axis=-1)
@@ -296,6 +299,7 @@ class GDG:
         low_error_mode: bool = False,
         clip: float = 50.0,
         ensemble_bucket: int = 64,
+        msg_dtype: str = "float32",
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -308,6 +312,7 @@ class GDG:
         self.clip = float(clip)
         self.num_iter_per_step = int(max_iter_per_step)
         self.low_error_mode = bool(low_error_mode)
+        self.msg_dtype = str(msg_dtype)
         self.new_n = min(self.n, 2 * self.m) if new_n is None else min(new_n, self.n)
         self.ensemble_bucket = int(ensemble_bucket)
 
@@ -367,6 +372,7 @@ class GDG:
             num_iter=self.max_iter,
             alpha=self.alpha,
             clip=self.clip,
+            msg_dtype=self.msg_dtype,
         )
         converged = np.asarray(pre["converged"])[:B].copy()
         error = np.asarray(pre["error"]).astype(np.uint8)[:B]
@@ -403,6 +409,7 @@ class GDG:
                     alpha=self.gdg_factor,
                     clip=self.clip,
                     low_error_mode=self.low_error_mode,
+                    msg_dtype=self.msg_dtype,
                 )
                 error[chunk] = np.asarray(out["error"])[: len(chunk)]
                 converged[chunk] = np.asarray(out["converged"])[: len(chunk)]
