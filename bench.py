@@ -137,5 +137,25 @@ def main() -> None:
     )
 
 
+def _run_with_retry() -> None:
+    # the tunneled TPU backend occasionally throws a transient
+    # FAILED_PRECONDITION; one subprocess-level retry re-establishes it
+    import subprocess
+
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 - anything fatal from the backend
+        log(f"bench attempt failed ({type(exc).__name__}: {exc}); retrying in "
+            "a fresh process")
+        ret = subprocess.run(
+            [sys.executable, __file__, *sys.argv[1:], "--no-retry"]
+        )
+        sys.exit(ret.returncode)
+
+
 if __name__ == "__main__":
-    main()
+    if "--no-retry" in sys.argv:
+        sys.argv.remove("--no-retry")
+        main()
+    else:
+        _run_with_retry()
