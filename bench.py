@@ -40,6 +40,10 @@ def main() -> None:
 
     import jax
 
+    from slidingwindowdecoder_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+
     from slidingwindowdecoder_tpu.circuits import sample_dem_numpy
     from slidingwindowdecoder_tpu.decoders import BPOSD
     from slidingwindowdecoder_tpu.harness.circuit_level import (

@@ -8,6 +8,7 @@ from .constructors import (
     create_surface_codes,
     create_rotated_surface_codes,
     create_checkerboard_toric_codes,
+    create_cyclic_permuting_matrix,
     create_QC_GHP_codes,
     create_bivariate_bicycle_codes,
     create_2BGA,

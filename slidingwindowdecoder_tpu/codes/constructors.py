@@ -153,6 +153,22 @@ def create_checkerboard_toric_codes(n: int, name=None) -> CSSCode:
     return CSSCode(hx, hz, name=name, name_prefix="Toric")
 
 
+def create_cyclic_permuting_matrix(n: int, shifts) -> np.ndarray:
+    """Shift-exponent matrix of a cyclic permuting block (codes_q.py:228-233).
+
+    Row j places shift ``shifts[i]`` at column (j - i) mod n; all other
+    entries are -1 (zero block). Feeds ``create_QC_GHP_codes`` — e.g. the
+    [[882, 24]] code of Misc.ipynb cell 2 is
+    ``create_QC_GHP_codes(63, create_cyclic_permuting_matrix(7, [27, 54, 0]),
+    [0, 1, 6])``.
+    """
+    A = np.full((n, n), -1, dtype=int)
+    for i, s in enumerate(shifts):
+        for j in range(n):
+            A[j, (j - i) % n] = s
+    return A
+
+
 def create_QC_GHP_codes(l, a, b, name=None) -> CSSCode:
     """Quasi-cyclic generalized hypergraph product (codes_q.py:207-226).
 

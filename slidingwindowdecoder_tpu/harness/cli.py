@@ -18,6 +18,9 @@ import sys
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     ap = argparse.ArgumentParser(prog="slidingwindowdecoder_tpu")
     sub = ap.add_subparsers(dest="command", required=True)
 

@@ -1,0 +1,260 @@
+#!/usr/bin/env python
+"""Golden-number parity runs against BASELINE.md rows.
+
+Each config reproduces one reference notebook experiment at a shot count
+sized for a 3-sigma two-proportion test, and prints ONE JSON line:
+
+    python tools/validate_parity.py sw-shortened --shots 8192
+
+Configs map 1:1 to BASELINE.md rows not yet covered by docs/PARITY.md.
+Run on the TPU (sequentially — the chip is exclusive).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _verdict(name, fails, shots, ref_fails, ref_shots, seconds, extra=None):
+    from slidingwindowdecoder_tpu.utils.metrics import rates_compatible
+
+    ok = rates_compatible(fails, shots, ref_fails, ref_shots)
+    out = {
+        "config": name,
+        "fails": int(fails),
+        "shots": int(shots),
+        "ler": fails / shots if shots else 0.0,
+        "ref_fails": ref_fails,
+        "ref_shots": ref_shots,
+        "ref_ler": ref_fails / ref_shots,
+        "z3_compatible": bool(ok),
+        "seconds": round(seconds, 2),
+        "shots_per_sec": round(shots / max(seconds, 1e-9), 1),
+    }
+    if extra:
+        out.update(extra)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def run_sw(name, shots, seed, *, N, p, r, W, F, shorten=False, max_iter=200,
+           ref_fails=0, ref_shots=1):
+    from slidingwindowdecoder_tpu.harness.circuit_level import (
+        sliding_window_decoder,
+    )
+
+    res = sliding_window_decoder(
+        N=N, p=p, num_repeat=r, num_shots=shots, max_iter=max_iter, W=W, F=F,
+        method=1, shorten=shorten, osd_method="osd_cs", osd_order=10,
+        seed=seed, verbose=True,
+    )
+    return _verdict(name, res["num_failed"], shots, ref_fails, ref_shots,
+                    res["decode_seconds"],
+                    {"ler_per_round": res["ler_per_round"]})
+
+
+def run_global(name, shots, seed, *, N, p, r, shorten=False, max_iter=200,
+               ref_fails=0, ref_shots=1):
+    from slidingwindowdecoder_tpu.harness.circuit_level import global_decoder
+
+    res = global_decoder(
+        N=N, p=p, num_repeat=r, num_shots=shots, max_iter=max_iter,
+        shorten=shorten, osd_method="osd_cs", osd_order=10, seed=seed,
+        verbose=True,
+    )
+    return _verdict(name, res["num_failed"], shots, ref_fails, ref_shots,
+                    res["decode_seconds"],
+                    {"ler_per_round": res["ler_per_round"]})
+
+
+def run_gdg(name, shots, seed, *, N, p, r, W, F, max_iter=200,
+            last_win_osd=False, low_error_mode=False, ref_fails=0,
+            ref_shots=1, ref2=None):
+    from slidingwindowdecoder_tpu.harness.circuit_level import sliding_window_gdg
+
+    res = sliding_window_gdg(
+        N=N, p=p, num_repeat=r, num_shots=shots, max_iter=max_iter, W=W, F=F,
+        last_win_osd=last_win_osd, low_error_mode=low_error_mode, seed=seed,
+        verbose=True,
+    )
+    extra = {"ler_per_round": res["ler_per_round"]}
+    if last_win_osd and ref2 is not None:
+        from slidingwindowdecoder_tpu.utils.metrics import rates_compatible
+
+        lo = res["last_win_osd"]
+        extra["last_win_osd_fails"] = lo["num_failed"]
+        extra["last_win_osd_ler_per_round"] = lo["ler_per_round"]
+        extra["last_win_osd_z3_compatible"] = rates_compatible(
+            lo["num_failed"], shots, ref2[0], ref2[1]
+        )
+    return _verdict(name, res["num_failed"], shots, ref_fails, ref_shots,
+                    res["decode_seconds"], extra)
+
+
+def run_code_capacity(name, shots, seed, *, N, p, which, ref):
+    """which: osd0 | osdcs | gdg; ref: (fails, shots)."""
+    from slidingwindowdecoder_tpu.codes import bb_code_by_n
+    from slidingwindowdecoder_tpu.decoders import BPOSD, GDG
+    from slidingwindowdecoder_tpu.harness.code_capacity import (
+        data_qubit_noise_decoding,
+    )
+
+    code, _, _ = bb_code_by_n(N)
+    priors = np.full(code.N, p)
+    if which == "osd0":
+        dec = BPOSD(code.hx, priors, max_iter=100, osd_method="osd_0")
+    elif which == "osdcs":
+        dec = BPOSD(code.hx, priors, max_iter=100, osd_method="osd_cs",
+                    osd_order=10)
+    else:
+        dec = GDG(code.hx, priors, max_iter=100, low_error_mode=True,
+                  ensemble_bucket=256)
+    t0 = time.perf_counter()
+    res = data_qubit_noise_decoding(
+        code, p, shots, {which: dec}, batch_size=16384, seed=seed,
+        verbose=True,
+    )[which]
+    return _verdict(name, res["num_err"], shots, ref[0], ref[1],
+                    time.perf_counter() - t0)
+
+
+def run_phenom(name, shots, seed, *, N, p, p_synd, which, ref):
+    from slidingwindowdecoder_tpu.codes import bb_code_by_n
+    from slidingwindowdecoder_tpu.decoders import BPOSD, GDG
+    from slidingwindowdecoder_tpu.harness.phenomenological import (
+        decode_phenomenological,
+    )
+
+    code, _, _ = bb_code_by_n(N)
+    if which == "osd":
+        builders = {which: lambda pcm, pr: BPOSD(pcm, pr, max_iter=100,
+                                                 osd_method="osd_cs",
+                                                 osd_order=10)}
+    else:
+        builders = {which: lambda pcm, pr: GDG(pcm, pr, max_iter=100,
+                                               ensemble_bucket=256)}
+    t0 = time.perf_counter()
+    res = decode_phenomenological(
+        code, p, p_synd, shots, builders, batch_size=16384, seed=seed,
+        verbose=True,
+    )[which]
+    return _verdict(name, res["num_err"], shots, ref[0], ref[1],
+                    time.perf_counter() - t0)
+
+
+def run_bp4(name, shots, seed, *, p, osd_order, ref):
+    # Misc.ipynb cell 2: the [[882, 24]] QC-GHP code under Depolarize(p)
+    from slidingwindowdecoder_tpu.codes import (
+        create_cyclic_permuting_matrix,
+        create_QC_GHP_codes,
+    )
+    from slidingwindowdecoder_tpu.harness.depolarizing import (
+        depolarizing_decoding,
+    )
+
+    code = create_QC_GHP_codes(
+        63, create_cyclic_permuting_matrix(7, [27, 54, 0]), [0, 1, 6]
+    )
+    t0 = time.perf_counter()
+    res = depolarizing_decoding(
+        code, p, shots, max_iter=100,
+        osd_method=("osd_cs" if osd_order else "osd_0"), osd_order=osd_order,
+        seed=seed, verbose=True,
+    )
+    return _verdict(name, res["num_err"], shots, ref[0], ref[1],
+                    time.perf_counter() - t0)
+
+
+CONFIGS = {
+    # BASELINE row 3: shortened osd_window, LER/r 1.54e-3 (183/1e4)
+    "sw-shortened": lambda shots, seed: run_sw(
+        "sw-shortened", shots or 8192, seed, N=144, p=0.004, r=12, W=3, F=1,
+        shorten=True, ref_fails=183, ref_shots=10000),
+    # BASELINE row 5: W=4 / W=5 at p=0.004 (LER/r 1.10e-3 / 9.0e-4)
+    "sw-w4": lambda shots, seed: run_sw(
+        "sw-w4", shots or 8192, seed, N=144, p=0.004, r=12, W=4, F=1,
+        ref_fails=round((1 - (1 - 1.10e-3) ** 12) * 10000), ref_shots=10000),
+    "sw-w5": lambda shots, seed: run_sw(
+        "sw-w5", shots or 8192, seed, N=144, p=0.004, r=12, W=5, F=1,
+        ref_fails=round((1 - (1 - 9.0e-4) ** 12) * 10000), ref_shots=10000),
+    # BASELINE row 7: [[288]] W=4 r=6 p=0.005 (LER/r 1.17e-3)
+    "sw-288-w4": lambda shots, seed: run_sw(
+        "sw-288-w4", shots or 4096, seed, N=288, p=0.005, r=6, W=4, F=1,
+        ref_fails=70, ref_shots=10000),
+    # BASELINE rows 8-9: global decode [[144]] p=0.004
+    "global-144": lambda shots, seed: run_global(
+        "global-144", shots or 4096, seed, N=144, p=0.004, r=12,
+        ref_fails=76, ref_shots=10000),
+    "global-144-shortened": lambda shots, seed: run_global(
+        "global-144-shortened", shots or 4096, seed, N=144, p=0.004, r=12,
+        shorten=True, ref_fails=90, ref_shots=10000),
+    # BASELINE row 12: [[288]] (4,1) GDG p=0.005 (LER/r 2.0e-3, r=18)
+    "gdg-288-41": lambda shots, seed: run_gdg(
+        "gdg-288-41", shots or 2048, seed, N=288, p=0.005, r=18, W=4, F=1,
+        max_iter=8,
+        ref_fails=round((1 - (1 - 2.0e-3) ** 18) * 5000), ref_shots=5000),
+    # BASELINE row 13: [[144]] (5,2) GDG p=0.005 (LER/r 3.18e-3, r=12)
+    "gdg-144-52": lambda shots, seed: run_gdg(
+        "gdg-144-52", shots or 2048, seed, N=144, p=0.005, r=12, W=5, F=2,
+        max_iter=8,
+        ref_fails=round((1 - (1 - 3.18e-3) ** 12) * 5000), ref_shots=5000),
+    # BASELINE row 14: [[288]] W=4 r=6 p=0.005 GDG vs +last-window OSD
+    "gdg-last-osd": lambda shots, seed: run_gdg(
+        "gdg-last-osd", shots or 4096, seed, N=288, p=0.005, r=6, W=4, F=1,
+        max_iter=8, last_win_osd=True,
+        ref_fails=round((1 - (1 - 1.14e-3) ** 6) * 20000), ref_shots=20000,
+        ref2=(round((1 - (1 - 7.10e-4) ** 6) * 20000), 20000)),
+    # BASELINE row 15: code capacity [[288]] p=0.02
+    "cc-osd0": lambda shots, seed: run_code_capacity(
+        "cc-osd0", shots or 2_000_000, seed, N=288, p=0.02, which="osd0",
+        ref=(121, 10_000_000)),
+    "cc-osdcs": lambda shots, seed: run_code_capacity(
+        "cc-osdcs", shots or 2_000_000, seed, N=288, p=0.02, which="osdcs",
+        ref=(6, 10_000_000)),
+    "cc-gdg": lambda shots, seed: run_code_capacity(
+        "cc-gdg", shots or 2_000_000, seed, N=288, p=0.02, which="gdg",
+        ref=(1, 10_000_000)),
+    # BASELINE row 16: phenomenological [[288]] p=0.03, p_synd=1e-3
+    "phenom-osd": lambda shots, seed: run_phenom(
+        "phenom-osd", shots or 65536, seed, N=288, p=0.03, p_synd=1e-3,
+        which="osd", ref=(20200, 1_000_000)),
+    "phenom-gdg": lambda shots, seed: run_phenom(
+        "phenom-gdg", shots or 65536, seed, N=288, p=0.03, p_synd=1e-3,
+        which="gdg", ref=(1360, 1_000_000)),
+    # BASELINE row 17: BP4+OSD [[882,24]] depolarizing p=0.1
+    "bp4-osd0": lambda shots, seed: run_bp4(
+        "bp4-osd0", shots or 65536, seed, p=0.1, osd_order=0,
+        ref=(77, 100_000)),
+    "bp4-osdcs": lambda shots, seed: run_bp4(
+        "bp4-osdcs", shots or 65536, seed, p=0.1, osd_order=10,
+        ref=(22, 100_000)),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", choices=sorted(CONFIGS))
+    ap.add_argument("--shots", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+
+    from slidingwindowdecoder_tpu.utils.compile_cache import enable
+
+    enable()
+    CONFIGS[args.config](args.shots, args.seed)
+
+
+if __name__ == "__main__":
+    main()
