@@ -38,7 +38,14 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # Honor JAX_PLATFORMS even on axon machines whose sitecustomize force-sets
+    # jax_platforms at interpreter start (env var alone is silently ignored).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from slidingwindowdecoder_tpu.utils.compile_cache import enable as enable_cache
 

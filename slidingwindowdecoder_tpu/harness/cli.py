@@ -17,9 +17,23 @@ import json
 import sys
 
 
+def _honor_platform_env():
+    # On axon machines a sitecustomize force-sets jax_platforms at interpreter
+    # start, so the JAX_PLATFORMS env var alone is silently ignored. Re-apply
+    # it here so `JAX_PLATFORMS=cpu python -m ...cli` actually runs on CPU.
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None):
     from ..utils.compile_cache import enable as _enable_cache
 
+    _honor_platform_env()
     _enable_cache()
     ap = argparse.ArgumentParser(prog="slidingwindowdecoder_tpu")
     sub = ap.add_subparsers(dest="command", required=True)
