@@ -35,6 +35,15 @@ class TannerGraph:
     vn_from_cn: np.ndarray  # [n*dv] int32 indices into a [m*dc + 1] flat array
     cn_degree: np.ndarray  # [m] int32
     vn_degree: np.ndarray  # [n] int32
+    # slot-major tables for the BP hot loop. CN-major edge arrays live as
+    # [dc, m_pad, B]; with m_pad a multiple of 32 the flatten to
+    # [dc*m_pad, B] is a layout-preserving bitcast for every dtype tiling
+    # (f32 8-row, bf16 16-row, int8 32-row tiles), so XLA emits zero
+    # physical reshapes in the iteration loop.
+    m_pad: int
+    cn_vn_sm: np.ndarray  # [dc, m_pad] int32: VN per slot; n pads
+    cn_valid_sm: np.ndarray  # [dc, m_pad] bool
+    vn_from_cn_sm: np.ndarray  # [n, dv] int32 into [dc*m_pad] flat; OOB pads
 
     @property
     def num_edges(self) -> int:
@@ -82,6 +91,17 @@ def compile_graph(H: np.ndarray) -> TannerGraph:
     vn_from_cn = np.full(n * dv, m * dc, dtype=np.int32)
     vn_from_cn[vn_flat] = cn_flat
 
+    m_pad = -(-m // 32) * 32
+    cn_vn_sm = np.full((dc, m_pad), n, dtype=np.int32)
+    cn_vn_sm[:, :m] = cn_vn.T
+    cn_valid_sm = np.zeros((dc, m_pad), dtype=bool)
+    cn_valid_sm[:, :m] = cn_valid.T
+    # slot-major flat index of edge (i, j): slot * m_pad + i
+    vn_from_cn_sm = np.full((n, dv), dc * m_pad, dtype=np.int32)
+    vn_from_cn_sm[cols, vn_slot[rows, cols]] = (
+        cn_slot[rows, cols] * m_pad + rows
+    )
+
     return TannerGraph(
         m=m,
         n=n,
@@ -95,6 +115,10 @@ def compile_graph(H: np.ndarray) -> TannerGraph:
         vn_from_cn=vn_from_cn,
         cn_degree=cn_degree,
         vn_degree=vn_degree,
+        m_pad=m_pad,
+        cn_vn_sm=cn_vn_sm,
+        cn_valid_sm=cn_valid_sm,
+        vn_from_cn_sm=vn_from_cn_sm,
     )
 
 
@@ -111,4 +135,7 @@ def graph_device_arrays(graph: TannerGraph):
         "vn_cn": jnp.asarray(graph.vn_cn),
         "cn_degree": jnp.asarray(graph.cn_degree),
         "vn_degree": jnp.asarray(graph.vn_degree),
+        "cn_vn_sm": jnp.asarray(graph.cn_vn_sm),
+        "cn_valid_sm": jnp.asarray(graph.cn_valid_sm),
+        "vn_from_cn_sm": jnp.asarray(graph.vn_from_cn_sm),
     }

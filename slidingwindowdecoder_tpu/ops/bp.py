@@ -21,7 +21,30 @@ Masking (for guided decimation / shortened decoding): ``vn_state`` values
 deactivates cleared checks while 0/1 carries the residual parity used as
 the CN sign seed (bpgd.cpp:104-141).
 
-All functions are pure and jit/vmap/shard_map friendly; batch axis leads.
+Performance structure (profiled on TPU v5e):
+
+- *Slot-major edge layout*: CN-major edge arrays live as [dc, m_pad, B]
+  with the batch on the lane axis and ``m_pad`` a multiple of 32, so the
+  flatten to [dc*m_pad, B] feeding the VN gather is a free bitcast for
+  every dtype tiling (the naive [m, dc, B] layout costs ~7 ms/iter in
+  materialized reshape/pad copies at B=16k).
+- *Posterior identity*: the VN→CN messages for the next iteration are
+  ``posterior[vn(edge)] − mc[edge]``, so the CN-major → VN-major → CN-major
+  round trip collapses to one small-source gather of the [n, B] posterior;
+  the same gathered array also yields the hard decisions per edge, making
+  the per-iteration syndrome check free of its own gather.
+- *Hoisted masks*: the decided-VN edge masks are loop-invariant per
+  ``bp_run`` call and computed once (the naive form re-gathers them every
+  iteration); the unmasked fast path (``masked=False``) uses the static
+  graph mask only.
+- *Optional work-skipping*: ``freeze_messages=False`` drops the converged-
+  shot message freeze (valid when downstream only consumes non-converged
+  shots' messages, as in BPOSD's phase compaction); ``history_mode="tail"``
+  writes the 4-slot posterior history only over the final 4 iterations
+  (valid when downstream only reads non-converged shots' histories).
+
+All functions are pure and jit/vmap/shard_map friendly; public arrays are
+batch-major (leading B).
 """
 
 from __future__ import annotations
@@ -35,7 +58,7 @@ BIG = 1e30  # stands in for the reference's 1e308 sentinel (f32-safe)
 
 
 def bp_init_messages(garr, prior_llr, batch: int):
-    """Initial VN->CN messages (CN-major layout): the channel prior.
+    """Initial VN->CN messages (batch-major CN layout): the channel prior.
 
     prior_llr: [n] or [B, n]. Decided VNs need no special treatment — their
     edges are masked out of every update.
@@ -49,66 +72,27 @@ def bp_init_messages(garr, prior_llr, batch: int):
     return prior_pad[:, cn_vn]  # [B, m, dc]
 
 
-def bp_iteration_bm(garr, mv, prior_llr_t, vn_state_t, cn_state_t, *, alpha, clip,
-                    msg_dtype=jnp.float32):
-    """One min-sum iteration in batch-minor layout.
+def _cn_update_sm(mv, edge_valid, parity, *, alpha, clip):
+    """Check-node update, slot-major.
 
-    Batch lives on the LAST (lane) axis: ``mv`` is [m, dc, B], priors and
-    states are [n|m, B]. The two layout permutations then gather *rows* of
-    [E+1, B] arrays with static indices — contiguous lane vectors — instead
-    of lane-axis gathers, which are pathologically slow on TPU.
-    Returns (mv', posterior [n, B], error [n, B]).
+    mv: [dc, m_pad, B] messages (any float dtype); edge_valid: bool
+    [dc, m_pad, B] or [dc, m_pad, 1]; parity: [m_pad, B] int32 sign seed.
+    Returns mc (f32, zero at invalid slots).
     """
-    cn_vn = garr["cn_vn"]
-    cn_valid = garr["cn_valid"]
-    m, dc = cn_vn.shape
-    n, dv = garr["vn_valid"].shape
-    B = mv.shape[-1]
-
-    # ---- CN update ---------------------------------------------------------
+    dc = mv.shape[0]
     mvc = jnp.clip(mv.astype(jnp.float32), -clip, clip)
-    vn_state_pad = jnp.concatenate(
-        [vn_state_t, jnp.zeros((1, B), vn_state_t.dtype)], axis=0
-    )
-    edge_undecided = vn_state_pad[cn_vn] == -1  # [m, dc, B]
-    cn_active = (cn_state_t != -1)[:, None, :]
-    edge_valid = cn_valid[:, :, None] & edge_undecided & cn_active
-
     absx = jnp.where(edge_valid, jnp.abs(mvc), BIG)
     neg = edge_valid & (mvc <= 0.0)
-    min1 = jnp.min(absx, axis=1)  # [m, B]
-    arg1 = jnp.argmin(absx, axis=1)  # first occurrence, like the fwd pass
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, dc, 1), 1)
-    is_arg = slot == arg1[:, None, :]
-    absx2 = jnp.where(is_arg, BIG, absx)
-    min2 = jnp.min(absx2, axis=1)
-
-    parity = jnp.maximum(cn_state_t, 0).astype(jnp.int32)  # sign seed
-    total_sign = (parity + jnp.sum(neg, axis=1).astype(jnp.int32)) % 2
-    sign_excl = total_sign[:, None, :] ^ neg.astype(jnp.int32)
-    mag = jnp.where(is_arg, min2[:, None, :], min1[:, None, :])
+    min1 = jnp.min(absx, axis=0)  # [m_pad, B]
+    arg1 = jnp.argmin(absx, axis=0)  # first occurrence == fwd-pass order
+    slot = jax.lax.broadcasted_iota(jnp.int32, (dc, 1, 1), 0)
+    is_arg = slot == arg1[None, :, :]
+    min2 = jnp.min(jnp.where(is_arg, BIG, absx), axis=0)
+    total_sign = (parity + jnp.sum(neg, axis=0).astype(jnp.int32)) % 2
+    sign_excl = total_sign[None, :, :] ^ neg.astype(jnp.int32)
+    mag = jnp.where(is_arg, min2[None, :, :], min1[None, :, :])
     mc = alpha * jnp.where(sign_excl == 1, -mag, mag)
-    mc = jnp.where(edge_valid, mc, 0.0)
-
-    # ---- VN update ---------------------------------------------------------
-    # messages cross the two layout gathers (the bandwidth hot spot) in
-    # msg_dtype; all arithmetic stays float32
-    mc_g = mc.astype(msg_dtype)
-    mc_flat = jnp.concatenate(
-        [mc_g.reshape(m * dc, B), jnp.zeros((1, B), msg_dtype)], axis=0
-    )
-    mcv = jnp.take(mc_flat, garr["vn_from_cn"], axis=0).reshape(n, dv, B)
-    mcv = mcv.astype(jnp.float32)
-    posterior = prior_llr_t + jnp.sum(mcv, axis=1)  # [n, B]
-    mvv = (posterior[:, None, :] - mcv).astype(msg_dtype)
-    mvv_flat = jnp.concatenate(
-        [mvv.reshape(n * dv, B), jnp.zeros((1, B), msg_dtype)], axis=0
-    )
-    mv_new = jnp.take(mvv_flat, garr["cn_from_vn"], axis=0).reshape(m, dc, B)
-
-    hard = posterior <= 0.0
-    error = jnp.where(vn_state_t == -1, hard.astype(jnp.int8), vn_state_t)
-    return mv_new, posterior, error
+    return jnp.where(edge_valid, mc, 0.0)
 
 
 def _check_syndrome_bm(garr, error_t):
@@ -124,7 +108,18 @@ def check_syndrome(garr, error):
     return _check_syndrome_bm(garr, error.T).T
 
 
-@partial(jax.jit, static_argnames=("num_iter", "alpha", "clip", "msg_dtype"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_iter",
+        "alpha",
+        "clip",
+        "msg_dtype",
+        "masked",
+        "freeze_messages",
+        "history_mode",
+    ),
+)
 def bp_run(
     garr,
     mv,
@@ -141,6 +136,9 @@ def bp_run(
     alpha: float = 1.0,
     clip: float = 50.0,
     msg_dtype: str = "float32",
+    masked: bool = True,
+    freeze_messages: bool = True,
+    history_mode: str = "full",
 ):
     """Run up to ``num_iter`` BP iterations with per-shot convergence freeze.
 
@@ -148,49 +146,128 @@ def bp_run(
     written at slot ``i % 4`` each iteration (i local to this call, matching
     the reference's per-call iteration counter). Returns the updated
     ``(mv, history, error, done, iters)``.
+
+    ``masked=False`` asserts every VN is undecided and every CN active
+    (vn_state all −1, cn_state == syndrome) and skips the per-edge decided
+    masks. ``freeze_messages=False`` lets converged shots' messages keep
+    evolving (cheaper; only valid when downstream ignores them).
+    ``history_mode="tail"`` records history only during the final 4
+    iterations (identical for every shot that runs them; converged shots'
+    histories are junk — only valid when downstream ignores those too).
     """
     B = mv.shape[0]
     n = garr["vn_valid"].shape[0]
-    syndrome_t = syndrome.astype(jnp.int32).T  # [m, B]
+    m = garr["cn_vn"].shape[0]
+    cn_vn_sm = garr["cn_vn_sm"]  # [dc, m_pad]
+    cn_valid_sm = garr["cn_valid_sm"]
+    vn_from_cn_sm = garr["vn_from_cn_sm"]  # [n, dv]
+    vn_valid = garr["vn_valid"]
+    dc, m_pad = cn_vn_sm.shape
+
+    mdt = jnp.dtype(msg_dtype)
     prior_llr = jnp.asarray(prior_llr, jnp.float32)
     if prior_llr.ndim == 1:
         prior_t = jnp.broadcast_to(prior_llr[:, None], (n, B))
     else:
         prior_t = prior_llr.T
-    mdt = jnp.dtype(msg_dtype)
-    # batch-minor internal layout: shots on the lane axis
-    mv_t = jnp.transpose(mv, (1, 2, 0)).astype(mdt)
+
+    def pad_m(x, fill):
+        return jnp.pad(x, ((0, m_pad - m), (0, 0)), constant_values=fill)
+
+    syndrome_t = pad_m(syndrome.astype(jnp.int32).T, 0)  # [m_pad, B]
+    cn_state_t = pad_m(cn_state.astype(jnp.int32).T, -1)
+    vn_state_t = vn_state.T  # [n, B]
+    parity = jnp.maximum(cn_state_t, 0)
+
+    # batch-major [B, m, dc] carry -> slot-major [dc, m_pad, B]
+    mv_sm = jnp.pad(
+        jnp.transpose(mv, (2, 1, 0)), ((0, 0), (0, m_pad - m), (0, 0))
+    ).astype(mdt)
     hist_t = jnp.transpose(history, (1, 2, 0))  # [n, 4, B]
     err_t = error.T
-    vn_state_t = vn_state.T
-    cn_state_t = cn_state.T
+    vn_undecided = vn_state_t == -1
 
-    def cond(state):
-        i, mv, hist, err, done, iters = state
-        return (i < num_iter) & ~jnp.all(done)
+    # ---- loop-invariant edge masks ------------------------------------------
+    if masked:
+        vs_edge = jnp.take(vn_state_t, cn_vn_sm, axis=0, mode="clip")
+        cn_active = (cn_state_t != -1)[None, :, :]
+        edge_valid = (
+            (vs_edge == -1) & cn_valid_sm[:, :, None] & cn_active
+        )  # [dc, m_pad, B]
+        # decided VNs' fixed contribution to each check's decoded syndrome
+        dec_par = jnp.sum(
+            ((vs_edge == 1) & cn_valid_sm[:, :, None]).astype(jnp.int32), axis=0
+        )  # [m_pad, B]
+    else:
+        edge_valid = cn_valid_sm[:, :, None]  # [dc, m_pad, 1] static
+        dec_par = jnp.zeros((m_pad, B), jnp.int32)
 
-    def body(state):
-        i, mv, hist, err, done, iters = state
-        mv_new, posterior, err_new = bp_iteration_bm(
-            garr, mv, prior_t, vn_state_t, cn_state_t, alpha=alpha, clip=clip,
-            msg_dtype=mdt,
-        )
-        active = ~done  # shots still iterating at the START of this iteration
-        mv = jnp.where(active[None, None, :], mv_new, mv)
-        slot_hot = jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1) == (i % 4)
-        hist_mask = (active[None, :] & (vn_state_t == -1))[:, None, :] & slot_hot
-        hist = jnp.where(hist_mask, posterior[:, None, :], hist)
-        err = jnp.where(active[None, :], err_new, err)
-        synd_hat = _check_syndrome_bm(garr, err)
+    def iteration(mv_sm):
+        """One BP iteration. Returns (mv_new, posterior, err_new, conv)."""
+        mc = _cn_update_sm(mv_sm, edge_valid, parity, alpha=alpha, clip=clip)
+        mc_g = mc.astype(mdt)
+        mc_flat = mc_g.reshape(dc * m_pad, B)  # bitcast (m_pad % 32 == 0)
+        mcv = jnp.take(mc_flat, vn_from_cn_sm, axis=0, mode="clip")  # [n,dv,B]
+        mcv = jnp.where(vn_valid[:, :, None], mcv.astype(jnp.float32), 0.0)
+        posterior = prior_t + jnp.sum(mcv, axis=1)  # [n, B]
+        post_edge = jnp.take(posterior, cn_vn_sm, axis=0, mode="clip")
+        mv_new = (post_edge - mc_g.astype(jnp.float32)).astype(mdt)
+
+        hard = posterior <= 0.0
+        if masked:
+            err_new = jnp.where(vn_undecided, hard.astype(jnp.int8), vn_state_t)
+            hard_edge = jnp.where(edge_valid, post_edge <= 0.0, False)
+            synd_hat = (jnp.sum(hard_edge.astype(jnp.int32), axis=0) + dec_par) % 2
+        else:
+            err_new = hard.astype(jnp.int8)
+            hard_edge = edge_valid & (post_edge <= 0.0)
+            synd_hat = jnp.sum(hard_edge.astype(jnp.int32), axis=0) % 2
         conv = jnp.all(synd_hat == syndrome_t, axis=0)
-        iters = iters + active.astype(jnp.int32)
-        done = done | conv
-        return (i + 1, mv, hist, err, done, iters)
+        return mv_new, posterior, err_new, conv
 
-    state = (jnp.int32(0), mv_t, hist_t, err_t, done, iters)
-    _, mv_t, hist_t, err_t, done, iters = jax.lax.while_loop(cond, body, state)
+    def body(with_history):
+        def _body(state):
+            i, mv_sm, hist, err, done, iters = state
+            mv_new, posterior, err_new, conv = iteration(mv_sm)
+            active = ~done  # shots still iterating at the START of this iter
+            if freeze_messages:
+                mv_sm = jnp.where(active[None, None, :], mv_new, mv_sm)
+            else:
+                mv_sm = mv_new
+            if with_history:
+                slot_hot = jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1) == (
+                    i % 4
+                )
+                hist_mask = (active[None, :] & vn_undecided)[:, None, :] & slot_hot
+                hist = jnp.where(hist_mask, posterior[:, None, :], hist)
+            err = jnp.where(active[None, :], err_new, err)
+            iters = iters + active.astype(jnp.int32)
+            done = done | conv
+            return (i + 1, mv_sm, hist, err, done, iters)
+
+        return _body
+
+    def run_span(state, end, with_history):
+        def cond(state):
+            return (state[0] < end) & ~jnp.all(state[4])
+
+        return jax.lax.while_loop(cond, body(with_history), state)
+
+    state = (jnp.int32(0), mv_sm, hist_t, err_t, done, iters)
+    if history_mode == "tail" and num_iter > 4:
+        state = run_span(state, num_iter - 4, with_history=False)
+        state = run_span(state, num_iter, with_history=True)
+    elif history_mode in ("full", "tail"):
+        state = run_span(state, num_iter, with_history=True)
+    elif history_mode == "none":
+        state = run_span(state, num_iter, with_history=False)
+    else:
+        raise ValueError(f"unknown history_mode {history_mode!r}")
+    _, mv_sm, hist_t, err_t, done, iters = state
+
+    mv_out = jnp.transpose(mv_sm[:, :m, :], (2, 1, 0)).astype(jnp.float32)
     return (
-        jnp.transpose(mv_t, (2, 0, 1)).astype(jnp.float32),
+        mv_out,
         jnp.transpose(hist_t, (2, 0, 1)),
         err_t.T,
         done,
@@ -220,14 +297,19 @@ def decode_bp(
     vn_state=None,
     cn_state=None,
     msg_dtype: str = "float32",
+    masked: bool | None = None,
+    freeze_messages: bool = True,
+    history_mode: str = "full",
 ):
-    """Plain (unmasked) batched BP decode from scratch.
+    """Plain batched BP decode from scratch.
 
     Returns dict with error, converged, iterations, history, posterior-sum
     ordering key (llr_sum), and final messages (for downstream OSD reuse).
     """
     B = syndrome.shape[0]
     n = garr["vn_valid"].shape[0]
+    if masked is None:
+        masked = vn_state is not None or cn_state is not None
     if vn_state is None:
         vn_state = jnp.full((B, n), -1, jnp.int8)
     if cn_state is None:
@@ -249,6 +331,9 @@ def decode_bp(
         alpha=alpha,
         clip=clip,
         msg_dtype=msg_dtype,
+        masked=masked,
+        freeze_messages=freeze_messages,
+        history_mode=history_mode,
     )
     return {
         "error": error,
