@@ -65,18 +65,45 @@ def test_bp_scaling_factor(rng):
     )
 
 
+def consistent_masked_state(rng, H, err, synd):
+    """A decimation state reachable by the reference's vn_set_value/peel.
+
+    Invariants (bpgd.cpp:51-80): cn_state holds the residual parity
+    (syndrome XOR decided contributions) for active CNs; a CN is masked
+    (-1) only once every neighbor is decided, at which point its residual
+    parity must be 0. Deciding VNs to the true error's values guarantees
+    fully-decided rows are satisfied.
+    """
+    m, n = H.shape
+    vn_state = -np.ones(n, dtype=np.int64)
+    decided = rng.choice(n, size=2, replace=False)
+    vn_state[decided] = err[decided]
+    # fully decide one CN's neighborhood so it gets masked
+    row = int(rng.integers(m))
+    for j in np.nonzero(H[row])[0]:
+        vn_state[j] = err[j]
+    dec = np.where(vn_state >= 0, vn_state, 0)
+    cn_state = ((synd + H @ dec) % 2).astype(np.int64)
+    undecided = vn_state == -1
+    fully_decided = ~(H[:, undecided].astype(bool).any(axis=1))
+    assert not cn_state[fully_decided].any()
+    cn_state[fully_decided] = -1
+    return vn_state, cn_state
+
+
 def test_bp_masked_matches_oracle(rng):
-    for _ in range(4):
+    done = 0
+    while done < 4:
         m = int(rng.integers(4, 8))
         n = int(rng.integers(m + 2, 14))
         H = random_pcm(rng, m, n)
         prior = rng.normal(1.5, 1.0, n)
-        synd = rng.integers(0, 2, m)
-        vn_state = -np.ones(n, dtype=np.int64)
-        decided = rng.choice(n, size=2, replace=False)
-        vn_state[decided] = rng.integers(0, 2, 2)
-        cn_state = synd.copy().astype(np.int64)
-        cn_state[int(rng.integers(m))] = -1
+        err = rng.integers(0, 2, n)
+        synd = (H @ err) % 2
+        vn_state, cn_state = consistent_masked_state(rng, H, err, synd)
+        if (vn_state == -1).sum() < 2 or not (cn_state == -1).any():
+            continue
+        done += 1
         out, ref = run_both(H, prior, synd, 5, vn_state=vn_state, cn_state=cn_state)
         np.testing.assert_array_equal(np.asarray(out["error"][0]), ref["error"])
         np.testing.assert_allclose(
