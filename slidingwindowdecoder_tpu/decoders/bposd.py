@@ -123,7 +123,7 @@ class BPOSD:
     # -- device stages -------------------------------------------------------
 
     def _run_bp(self, mv, synds, vn_state, cn_state, history, error, done, iters,
-                num_iter):
+                num_iter, *, history_mode="full", freeze_messages=True):
         return bp_run(
             self.garr,
             mv,
@@ -139,7 +139,30 @@ class BPOSD:
             alpha=self.alpha,
             clip=self.clip,
             msg_dtype=self.msg_dtype,
+            history_mode=history_mode,
+            freeze_messages=freeze_messages,
         )
+
+    def _phase_flags(self, phase: str) -> dict:
+        """Work-skipping flags per BP phase.
+
+        Downstream only ever consumes (a) converged shots' *error* (frozen
+        by the active mask regardless of message freezing) and (b)
+        non-converged shots' *history* from their final BP call (the OSD
+        reliability order). So messages never need the convergence freeze,
+        phase A's history is dead whenever phase B exists (every
+        non-converged shot gets re-run there), and the live phase only
+        needs the final 4 posterior slots ("tail").
+        """
+        it_a, it_b = self.phase_iters
+        if phase == "a":
+            live = it_b == 0 and self.osd_method is not None
+        else:
+            live = self.osd_method is not None
+        return {
+            "freeze_messages": False,
+            "history_mode": "tail" if live else "none",
+        }
 
     def _reliability(self, history, total_iters: int):
         if self.reliability == "history_sum":
@@ -161,7 +184,8 @@ class BPOSD:
 
         it_a, it_b = self.phase_iters
         mv, history, error, done, iters = self._run_bp(
-            mv, synds, vn_state, cn_state, history, error, done, iters, it_a
+            mv, synds, vn_state, cn_state, history, error, done, iters, it_a,
+            **self._phase_flags("a"),
         )
 
         conv_host = np.asarray(done)  # tiny [B] transfer drives compaction
@@ -191,6 +215,7 @@ class BPOSD:
                     jnp.zeros((bucket,), bool),
                     sub(iters),
                     it_b,
+                    **self._phase_flags("b"),
                 )
                 upd = lambda full, part: full.at[s_idx].set(part, mode="drop")
                 mv = upd(mv, mv_c)

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--shots", type=int, default=16384)
     ap.add_argument("--max-iter", type=int, default=200)
     ap.add_argument("--seed", type=int, default=2024)
+    ap.add_argument("--phase-a", type=int, default=24)
+    ap.add_argument("--bucket", type=int, default=1024)
+    ap.add_argument("--msg-dtype", type=str, default="bfloat16")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +58,8 @@ def main():
         lambda spec: BPOSD(
             spec.mat, spec.prior, max_iter=args.max_iter,
             ms_scaling_factor=1.0, osd_method="osd_cs", osd_order=10,
-            osd_bucket=1024, msg_dtype="bfloat16",
+            osd_bucket=args.bucket, msg_dtype=args.msg_dtype,
+            phase_a_iters=args.phase_a,
         )
     )
 
@@ -81,7 +85,8 @@ def main():
             history, error, done, iters = fresh_bp_state(dec.garr, B)
             it_a, it_b = dec.phase_iters
             mv, history, error, done, iters = dec._run_bp(
-                mv, synd, vn_state, cn_state, history, error, done, iters, it_a
+                mv, synd, vn_state, cn_state, history, error, done, iters, it_a,
+                **dec._phase_flags("a"),
             )
             jax.block_until_ready(done)
             if record:
@@ -111,7 +116,7 @@ def main():
                     mv_c, hist_c, err_c, done_c, it_c = dec._run_bp(
                         sub(mv), sub(synd), sub(vn_state), sub(cn_state),
                         sub(history), sub(error), jnp.zeros((bucket,), bool),
-                        sub(iters), it_b,
+                        sub(iters), it_b, **dec._phase_flags("b"),
                     )
                     upd = lambda full, part: full.at[s_idx].set(part, mode="drop")
                     mv = upd(mv, mv_c)
