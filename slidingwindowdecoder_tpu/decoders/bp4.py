@@ -23,6 +23,7 @@ from ..graphs.tanner import compile_graph, graph_device_arrays
 from ..ops.bp4 import bp4_init_messages, bp4_run
 from ..ops.gf2_solve import (
     gf2_rank_packed,
+    analyze_patterns,
     osd_candidate_patterns,
     osd_decode,
     pack_rows_host,
@@ -106,6 +107,8 @@ class BP4OSD:
             self.Hz_words = jnp.asarray(pack_rows_host(Hz))
             self.pats_x = osd_candidate_patterns(self.kx, self.osd_order, method)
             self.pats_z = osd_candidate_patterns(self.kz, self.osd_order, method)
+            self._meta_x = analyze_patterns(self.pats_x, self.kx)
+            self._meta_z = analyze_patterns(self.pats_z, self.kz)
 
         self._llr_dev = tuple(
             jnp.asarray(v) for v in (self.llr_x, self.llr_y, self.llr_z)
@@ -179,6 +182,7 @@ class BP4OSD:
                     n=self.n,
                     rank=self.rank_x,
                     k=self.kx,
+                    meta=self._meta_x,
                 )
                 # basis z: Hz e_x = synd_z, ranked by X-component posterior
                 rel_z = (
@@ -195,6 +199,7 @@ class BP4OSD:
                     n=self.n,
                     rank=self.rank_z,
                     k=self.kz,
+                    meta=self._meta_z,
                 )
                 err_z[chunk] = np.asarray(out_x["solution"])[: len(chunk)]
                 err_x[chunk] = np.asarray(out_z["solution"])[: len(chunk)]

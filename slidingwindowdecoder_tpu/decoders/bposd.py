@@ -29,6 +29,7 @@ import numpy as np
 from ..graphs.tanner import compile_graph, graph_device_arrays
 from ..ops.bp import bp_init_messages, bp_run, fresh_bp_state
 from ..ops.gf2_solve import (
+    analyze_patterns,
     gf2_rank_packed,
     osd_candidate_patterns,
     osd_decode,
@@ -86,6 +87,17 @@ class BPOSD:
             self.phase_iters = (self.max_iter, 0)
         else:
             self.phase_iters = (int(phase_a_iters), self.max_iter - int(phase_a_iters))
+        # Phase B runs in spans with re-compaction between them: survivors of
+        # an early span are re-packed into fewer buckets before the long tail
+        # (most shots that converge at all do so early, so the span boundary
+        # sheds most of the padded bucket slots).
+        it_b = self.phase_iters[1]
+        if it_b > 96:
+            self.phase_b_spans: tuple[int, ...] = (48, it_b - 48)
+        elif it_b > 0:
+            self.phase_b_spans = (it_b,)
+        else:
+            self.phase_b_spans = ()
 
         method = str(osd_method).lower()
         if method in ("osd_0", "osd0", "0"):
@@ -115,9 +127,8 @@ class BPOSD:
                     f"osd_order must be <= n - rank = {self.k}, got {osd_order}"
                 )
             self.H_words = jnp.asarray(pack_rows_host(pcm))
-            self.patterns = jnp.asarray(
-                osd_candidate_patterns(self.k, self.osd_order, method)
-            )
+            self.patterns = osd_candidate_patterns(self.k, self.osd_order, method)
+            self._osd_meta = analyze_patterns(self.patterns, self.k)
         self._pcm = pcm
 
     # -- device stages -------------------------------------------------------
@@ -188,8 +199,13 @@ class BPOSD:
             **self._phase_flags("a"),
         )
 
+        # difficulty proxy for homogeneous buckets: syndrome weight (heavier
+        # syndromes converge later or never). Sorting todo by it clusters
+        # easy shots together so whole-bucket early exit actually fires.
+        synd_weight = np.asarray(jnp.sum(synds, axis=1, dtype=jnp.int32))
         conv_host = np.asarray(done)  # tiny [B] transfer drives compaction
         todo = np.nonzero(~conv_host)[0]
+        todo = todo[np.argsort(synd_weight[todo], kind="stable")]
 
         def bucket_indices(chunk, bucket):
             # gather clamps padding to a real row; scatter drops it (index B)
@@ -199,8 +215,15 @@ class BPOSD:
             s[: len(chunk)] = chunk
             return jnp.asarray(g), jnp.asarray(s)
 
-        if it_b > 0 and len(todo):
-            bucket = max(32, self.osd_bucket)  # fixed shape: one compile
+        bucket = max(32, self.osd_bucket)  # fixed shape: one compile per span
+        for si, span in enumerate(self.phase_b_spans):
+            if not len(todo):
+                break
+            # Only the final span's history survives into the OSD reliability
+            # order; intermediate spans skip the history writes entirely.
+            flags = self._phase_flags("b")
+            if si + 1 < len(self.phase_b_spans):
+                flags["history_mode"] = "none"
             for lo in range(0, len(todo), bucket):
                 chunk = todo[lo : lo + bucket]
                 g_idx, s_idx = bucket_indices(chunk, bucket)
@@ -214,8 +237,8 @@ class BPOSD:
                     sub(error),
                     jnp.zeros((bucket,), bool),
                     sub(iters),
-                    it_b,
-                    **self._phase_flags("b"),
+                    span,
+                    **flags,
                 )
                 upd = lambda full, part: full.at[s_idx].set(part, mode="drop")
                 mv = upd(mv, mv_c)
@@ -225,6 +248,7 @@ class BPOSD:
                 done = upd(done, done_c)
             conv_host = np.asarray(done)
             todo = np.nonzero(~conv_host)[0]
+            todo = todo[np.argsort(synd_weight[todo], kind="stable")]
 
         error = error.astype(jnp.uint8)
         min_pm = jnp.sum(self._llr_dev[None, :] * (error == 1), axis=-1)
@@ -232,8 +256,8 @@ class BPOSD:
 
         if self.osd_method is not None and len(todo):
             # posterior slots: the non-converged shots' histories were last
-            # written by their final BP call
-            last_call_iters = it_b if it_b > 0 else it_a
+            # written by their final BP call (the last phase-B span)
+            last_call_iters = self.phase_b_spans[-1] if it_b > 0 else it_a
             rel = self._reliability(history, last_call_iters)
             bucket = max(32, self.osd_bucket)  # fixed shape: one compile
             for lo in range(0, len(todo), bucket):
@@ -249,6 +273,7 @@ class BPOSD:
                     n=self.n,
                     rank=self.rank,
                     k=self.k,
+                    meta=self._osd_meta,
                 )
                 error = error.at[s_idx].set(
                     osd["solution"].astype(jnp.uint8), mode="drop"

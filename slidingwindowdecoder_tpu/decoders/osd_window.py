@@ -22,6 +22,7 @@ from ..ops.bp import bp_init_messages, bp_run, fresh_bp_state
 from ..ops.decimation import init_decimation_state, peel, vn_set_values
 from ..ops.gf2_solve import (
     gf2_rank_packed,
+    analyze_patterns,
     osd_candidate_patterns,
     osd_decode,
     pack_rows_host,
@@ -85,11 +86,12 @@ class OSDWindow:
                 f"(osd_window.pyx:89 bound), got {osd_order}"
             )
         self.H_words = jnp.asarray(pack_rows_host(pcm))
-        self.patterns = jnp.asarray(
+        self.patterns = (
             osd_candidate_patterns(max(self.k, 1), self.osd_order, method)[:, : self.k]
             if self.k > 0
             else np.zeros((0, 0), np.uint8)
         )
+        self._osd_meta = analyze_patterns(self.patterns, self.k)
 
     def _bp(self, mv, synds, vn_state, cn_state, history, error, done, iters, n_it):
         return bp_run(
@@ -160,7 +162,7 @@ class OSDWindow:
             rel = jnp.where(vn_c == 1, -PIN, jnp.where(vn_c == 0, PIN, rel))
             osd = osd_decode(
                 self.H_words, synd_c, rel, self._llr_dev, self.patterns,
-                m=self.m, n=n, rank=self.rank, k=self.k,
+                m=self.m, n=n, rank=self.rank, k=self.k, meta=self._osd_meta,
             )
             use_osd = ~post_conv & ~dead_c
             final = jnp.where(

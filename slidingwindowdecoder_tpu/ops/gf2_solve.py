@@ -471,13 +471,16 @@ def osd_decode(
     n: int,
     rank: int,
     k: int,
+    meta: dict | None = None,
 ):
     """Full OSD: order columns by reliability, eliminate, sweep candidates.
 
     ``reliability``: [B, n] float — smaller = more likely in error = tried
     first (the reference sorts ascending llr_sum, osd_window.pyx:215).
-    ``patterns`` may be a numpy or device array; its structure is analyzed
-    on the host once per call (host-side, cheap).
+    ``meta`` is the static ``analyze_patterns`` result; callers decoding
+    repeatedly MUST pass it (computing it here pulls ``patterns`` back to
+    the host every call — a ~2 MB device→host transfer that dwarfs the
+    actual elimination on tunneled TPU setups).
     """
     order = jnp.argsort(reliability, axis=1, stable=True).astype(jnp.int32)
     B, n_ = order.shape
@@ -488,7 +491,8 @@ def osd_decode(
     )
     gj = ordered_gauss_jordan(H_words, syndrome, rank_pos, m=m, n=n, rank=rank)
 
-    meta = analyze_patterns(np.asarray(patterns), k)
+    if meta is None:
+        meta = analyze_patterns(np.asarray(patterns), k)
     if meta["kind"] == "none" or k == 0:
         llr = channel_llr.astype(jnp.float32)
         if llr.ndim == 1:

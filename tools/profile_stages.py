@@ -147,7 +147,8 @@ def main():
                     osd = osd_decode(
                         dec.H_words, jnp.take(synd, g_idx, axis=0),
                         jnp.take(rel, g_idx, axis=0), dec._llr_dev,
-                        dec.patterns, m=dec.m, n=dec.n, rank=dec.rank, k=dec.k,
+                        dec.patterns, m=dec.m, n=dec.n, rank=dec.rank,
+                        k=dec.k, meta=dec._osd_meta,
                     )
                     error = error.at[s_idx].set(
                         osd["solution"].astype(jnp.uint8), mode="drop"
