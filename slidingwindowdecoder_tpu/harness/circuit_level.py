@@ -248,6 +248,7 @@ def sliding_window_gdg(
     max_iter_per_step: int = 6,
     max_tree_depth: int = 3,
     max_side_depth: int = 10,
+    max_tree_branch_step: int = 10,
     max_side_branch_step: int = 10,
     low_error_mode: bool = False,
     last_win_osd: bool = False,
@@ -284,7 +285,7 @@ def sliding_window_gdg(
             max_step=max_step,
             max_tree_depth=max_tree_depth,
             max_side_depth=max_side_depth,
-            max_tree_branch_step=max_side_branch_step,
+            max_tree_branch_step=max_tree_branch_step,
             max_side_branch_step=max_side_branch_step,
             ms_scaling_factor=last_win_bp_factor if last else 1.0,
             gdg_factor=last_win_gdg_factor if last else 1.0,

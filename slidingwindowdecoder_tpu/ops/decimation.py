@@ -74,7 +74,12 @@ def vn_set_values(garr, vn_state, cn_state, cn_degree, dead, set_mask, values):
 
 
 def peel(garr, vn_state, cn_state, cn_degree, dead, max_sweeps: int | None = None):
-    """Iterate degree-1 forcing to a fixpoint (bounded while_loop)."""
+    """Iterate degree-1 forcing to a fixpoint.
+
+    ``max_sweeps`` bounds the number of forcing sweeps (None = run to the
+    fixpoint; termination is guaranteed since each productive sweep decides
+    at least one VN, so the loop runs at most n+1 times).
+    """
     vn_cn = garr["vn_cn"]
     vn_valid = garr["vn_valid"]
     m = garr["cn_vn"].shape[0]
@@ -99,12 +104,21 @@ def peel(garr, vn_state, cn_state, cn_degree, dead, max_sweeps: int | None = Non
         changed = jnp.any(forced, axis=-1) & ~dead
         return vn_state, cn_state, cn_degree, dead, changed
 
-    def cond(state):
-        *_, changed = state
-        return jnp.any(changed)
+    def body(state):
+        sweeps, inner = state
+        return sweeps + 1, sweep(inner)
 
-    init = sweep((vn_state, cn_state, cn_degree, dead, None))
-    vn_state, cn_state, cn_degree, dead, _ = jax.lax.while_loop(cond, sweep, init)
+    def cond(state):
+        sweeps, (*_, changed) = state
+        more = jnp.any(changed)
+        if max_sweeps is not None:
+            more &= sweeps < max_sweeps
+        return more
+
+    init = (jnp.int32(1), sweep((vn_state, cn_state, cn_degree, dead, None)))
+    _, (vn_state, cn_state, cn_degree, dead, _) = jax.lax.while_loop(
+        cond, body, init
+    )
     return vn_state, cn_state, cn_degree, dead
 
 

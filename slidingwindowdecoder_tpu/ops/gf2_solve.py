@@ -254,15 +254,18 @@ def analyze_patterns(patterns, k: int) -> dict:
                 i, j = np.nonzero(row)[0]
                 pi.append(i)
                 pj.append(j)
-            return {
-                "kind": "cs",
-                "pair_i": np.asarray(pi, np.int32),
-                "pair_j": np.asarray(pj, np.int32),
-            }
-        return {"kind": "cs", "pair_i": np.zeros(0, np.int32),
-                "pair_j": np.zeros(0, np.int32)}
+        else:
+            pi, pj = [], []
+        return {
+            "kind": "cs",
+            "pair_i": jnp.asarray(np.asarray(pi, np.int32)),
+            "pair_j": jnp.asarray(np.asarray(pj, np.int32)),
+            "order_w": (max(pj) + 1) if pj else 0,
+        }
     supp = int(np.nonzero(pats.any(axis=0))[0].max()) + 1
-    return {"kind": "dense", "patterns": pats, "support": supp}
+    # device-resident once: re-uploading the full pattern matrix per decode
+    # call would dwarf the sweep itself on tunneled TPU setups
+    return {"kind": "dense", "patterns": jnp.asarray(pats), "support": supp}
 
 
 def _ht_cols(gj, rank_order_cols, k):
@@ -500,11 +503,13 @@ def osd_decode(
         pm0 = jnp.sum(llr * gj["osd0"], axis=1)
         solution, min_pm = gj["osd0"], pm0
     elif meta["kind"] == "cs":
-        pi, pj = meta["pair_i"], meta["pair_j"]
-        order_w = int(pj.max()) + 1 if len(pj) else 0
+        pi, pj = jnp.asarray(meta["pair_i"]), jnp.asarray(meta["pair_j"])
+        if "order_w" in meta:
+            order_w = int(meta["order_w"])
+        else:
+            order_w = int(np.asarray(meta["pair_j"]).max()) + 1 if len(pj) else 0
         solution, min_pm = _osd_sweep_cs(
-            gj, order, channel_llr, jnp.asarray(pi), jnp.asarray(pj),
-            k=k, order_w=order_w,
+            gj, order, channel_llr, pi, pj, k=k, order_w=order_w,
         )
     else:
         solution, min_pm = _osd_sweep_dense(

@@ -22,6 +22,6 @@ def enable(cache_dir: str | None = None) -> str:
     cache_dir = cache_dir or os.environ.get("SWD_JAX_CACHE_DIR", DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return cache_dir
