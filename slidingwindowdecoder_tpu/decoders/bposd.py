@@ -7,22 +7,31 @@ post-processing on the shots BP failed to converge.
 
 Throughput structure (this is the hot path of the whole framework):
 
-- *Device-resident*: ``decode_batch_device`` consumes and produces device
-  arrays so the sliding-window pipeline never round-trips shot-sized data
-  through the host; only tiny convergence bitmaps come back to drive
-  compaction.
-- *Two-phase BP with compaction*: the reference decodes shot-at-a-time, so
-  its per-shot cost is the per-shot iteration count; a lockstep batch would
-  pay ``max_iter`` for everyone. Phase A runs a short budget on the full
-  batch (most shots converge in a few iterations); survivors are compacted
-  into fixed-size buckets that run the remaining budget — restoring
-  reference-equivalent results (same messages, continued) at near
-  reference-average cost.
-- *OSD only on the non-converged bucket* with a single compiled shape.
+- *Single traced program*: ``core`` is a pure function of the syndrome
+  batch — no host round-trips anywhere. It runs under ``jit`` on one chip
+  and unchanged under ``shard_map`` over a shots mesh (each shard compacts
+  locally; there are no collectives, so shards proceed independently).
+- *Two-phase BP with device-side compaction*: the reference decodes
+  shot-at-a-time, so its per-shot cost is the per-shot iteration count; a
+  lockstep batch would pay ``max_iter`` for everyone. Phase A runs a short
+  budget on the full batch (most shots converge in a few iterations);
+  survivors are sorted to the front (argsort on the convergence mask, with
+  syndrome weight as a difficulty tiebreak so buckets are homogeneous) and
+  a ``while_loop`` walks fixed-size buckets of them for the remaining
+  budget — each bucket exits as soon as all of its shots converge, so easy
+  buckets stop early and only the hard tail runs the full budget.
+- *OSD only on the non-converged shots*, via the same sorted-bucket walk
+  with a single compiled shape.
+
+Per-shot results are bit-identical regardless of bucket composition: BP
+and OSD are shot-independent, so compaction is purely a scheduling choice.
 """
 
 from __future__ import annotations
 
+import math
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +45,12 @@ from ..ops.gf2_solve import (
     pack_rows_host,
 )
 from .base import DecodeResult, as_batch
+
+
+def _divisor_bucket(B: int, want: int) -> int:
+    """Largest bucket size <= want that divides B (so the sorted-bucket
+    walk never overlaps a processed shot; trace-time, B/want static)."""
+    return max(1, math.gcd(B, max(1, min(want, B))))
 
 
 class BPOSD:
@@ -52,6 +67,7 @@ class BPOSD:
         package behavior); "history_sum" uses the 4-iteration posterior sum
         (osd_window behavior, osd_window.pyx:174-176).
       phase_a_iters: BP iterations run on the full batch before compaction.
+      bp_bucket / osd_bucket: compacted bucket sizes for phase B and OSD.
     """
 
     def __init__(
@@ -65,6 +81,7 @@ class BPOSD:
         osd_order: int = 10,
         reliability: str = "last",
         clip: float = 50.0,
+        bp_bucket: int = 512,
         osd_bucket: int = 512,
         phase_a_iters: int | None = 24,
         msg_dtype: str = "float32",
@@ -87,17 +104,6 @@ class BPOSD:
             self.phase_iters = (self.max_iter, 0)
         else:
             self.phase_iters = (int(phase_a_iters), self.max_iter - int(phase_a_iters))
-        # Phase B runs in spans with re-compaction between them: survivors of
-        # an early span are re-packed into fewer buckets before the long tail
-        # (most shots that converge at all do so early, so the span boundary
-        # sheds most of the padded bucket slots).
-        it_b = self.phase_iters[1]
-        if it_b > 96:
-            self.phase_b_spans: tuple[int, ...] = (48, it_b - 48)
-        elif it_b > 0:
-            self.phase_b_spans = (it_b,)
-        else:
-            self.phase_b_spans = ()
 
         method = str(osd_method).lower()
         if method in ("osd_0", "osd0", "0"):
@@ -112,6 +118,7 @@ class BPOSD:
             raise ValueError(f"unknown osd_method {osd_method!r}")
         self.osd_method = method
         self.osd_order = int(osd_order)
+        self.bp_bucket = int(bp_bucket)
         self.osd_bucket = int(osd_bucket)
 
         self.graph = compile_graph(pcm)
@@ -130,11 +137,16 @@ class BPOSD:
             self.patterns = osd_candidate_patterns(self.k, self.osd_order, method)
             self._osd_meta = analyze_patterns(self.patterns, self.k)
         self._pcm = pcm
+        self._core_jit = jax.jit(self.core)
 
     # -- device stages -------------------------------------------------------
 
     def _run_bp(self, mv, synds, vn_state, cn_state, history, error, done, iters,
-                num_iter, *, history_mode="full", freeze_messages=True):
+                num_iter, *, history_mode):
+        # BPOSD never decimates: every VN stays undecided and every CN active,
+        # so the unmasked fast path applies. Converged shots' messages are
+        # never consumed downstream (history drives OSD; errors are frozen by
+        # the active mask), so the message freeze is skipped too.
         return bp_run(
             self.garr,
             mv,
@@ -150,136 +162,135 @@ class BPOSD:
             alpha=self.alpha,
             clip=self.clip,
             msg_dtype=self.msg_dtype,
+            masked=False,
+            freeze_messages=False,
             history_mode=history_mode,
-            freeze_messages=freeze_messages,
         )
-
-    def _phase_flags(self, phase: str) -> dict:
-        """Work-skipping flags per BP phase.
-
-        Downstream only ever consumes (a) converged shots' *error* (frozen
-        by the active mask regardless of message freezing) and (b)
-        non-converged shots' *history* from their final BP call (the OSD
-        reliability order). So messages never need the convergence freeze,
-        phase A's history is dead whenever phase B exists (every
-        non-converged shot gets re-run there), and the live phase only
-        needs the final 4 posterior slots ("tail").
-        """
-        it_a, it_b = self.phase_iters
-        if phase == "a":
-            live = it_b == 0 and self.osd_method is not None
-        else:
-            live = self.osd_method is not None
-        return {
-            "freeze_messages": False,
-            "history_mode": "tail" if live else "none",
-        }
 
     def _reliability(self, history, total_iters: int):
         if self.reliability == "history_sum":
             return jnp.sum(history, axis=-1)
         return history[..., (total_iters - 1) % 4]
 
-    def decode_batch_device(self, synds):
-        """Fully device-side decode. ``synds``: [B, m] device array.
+    def core(self, synds):
+        """Pure device-side decode: traceable under jit / shard_map.
 
-        Returns dict of device arrays: error [B, n] uint8, converged [B]
-        bool, iterations [B] int32, min_pm [B] f32.
+        ``synds``: [B, m] uint8/bool. Returns dict of device arrays: error
+        [B, n] uint8, converged [B] bool, iterations [B] int32, min_pm [B]
+        f32, osd_applied [B] bool. Contains no host syncs; per-shot results
+        do not depend on B or on the other shots in the batch.
         """
         B = synds.shape[0]
         n = self.n
+        m = self.m
+        it_a, it_b = self.phase_iters
+        osd_on = self.osd_method is not None
+        synds = synds.astype(jnp.uint8)
+
         vn_state = jnp.full((B, n), -1, jnp.int8)
         cn_state = synds.astype(jnp.int8)
         mv = bp_init_messages(self.garr, self._llr_dev, B)
         history, error, done, iters = fresh_bp_state(self.garr, B)
 
-        it_a, it_b = self.phase_iters
+        # phase A history is dead whenever phase B exists (every shot that
+        # reaches OSD is re-run there); the live phase only needs the final
+        # 4 posterior slots ("tail").
+        live_a = it_b == 0 and osd_on
         mv, history, error, done, iters = self._run_bp(
             mv, synds, vn_state, cn_state, history, error, done, iters, it_a,
-            **self._phase_flags("a"),
+            history_mode="tail" if live_a else "none",
         )
 
-        # difficulty proxy for homogeneous buckets: syndrome weight (heavier
-        # syndromes converge later or never). Sorting todo by it clusters
-        # easy shots together so whole-bucket early exit actually fires.
-        synd_weight = np.asarray(jnp.sum(synds, axis=1, dtype=jnp.int32))
-        conv_host = np.asarray(done)  # tiny [B] transfer drives compaction
-        todo = np.nonzero(~conv_host)[0]
-        todo = todo[np.argsort(synd_weight[todo], kind="stable")]
+        if it_b > 0:
+            bucket = _divisor_bucket(B, self.bp_bucket)
+            # survivors first, easy (light-syndrome) shots together so
+            # whole-bucket early exit actually fires
+            synd_weight = jnp.sum(synds, axis=1, dtype=jnp.int32)
+            key = done.astype(jnp.int32) * jnp.int32(m + 2) + synd_weight
+            order = jnp.argsort(key, stable=True).astype(jnp.int32)
+            n_todo = jnp.sum((~done).astype(jnp.int32))
+            hmode = "tail" if osd_on else "none"
 
-        def bucket_indices(chunk, bucket):
-            # gather clamps padding to a real row; scatter drops it (index B)
-            g = np.full(bucket, int(chunk[0]), dtype=np.int32)
-            g[: len(chunk)] = chunk
-            s = np.full(bucket, B, dtype=np.int32)
-            s[: len(chunk)] = chunk
-            return jnp.asarray(g), jnp.asarray(s)
-
-        bucket = max(32, self.osd_bucket)  # fixed shape: one compile per span
-        for si, span in enumerate(self.phase_b_spans):
-            if not len(todo):
-                break
-            # Only the final span's history survives into the OSD reliability
-            # order; intermediate spans skip the history writes entirely.
-            flags = self._phase_flags("b")
-            if si + 1 < len(self.phase_b_spans):
-                flags["history_mode"] = "none"
-            for lo in range(0, len(todo), bucket):
-                chunk = todo[lo : lo + bucket]
-                g_idx, s_idx = bucket_indices(chunk, bucket)
-                sub = lambda a: jnp.take(a, g_idx, axis=0)
+            def bp_body(carry):
+                b, mv, history, error, done, iters = carry
+                idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
+                take = lambda a: jnp.take(a, idx, axis=0)
+                sub_synds = take(synds)
                 mv_c, hist_c, err_c, done_c, it_c = self._run_bp(
-                    sub(mv),
-                    sub(synds),
-                    sub(vn_state),
-                    sub(cn_state),
-                    sub(history),
-                    sub(error),
-                    jnp.zeros((bucket,), bool),
-                    sub(iters),
-                    span,
-                    **flags,
+                    take(mv),
+                    sub_synds,
+                    jnp.full((bucket, n), -1, jnp.int8),
+                    sub_synds.astype(jnp.int8),
+                    take(history),
+                    take(error),
+                    take(done),
+                    take(iters),
+                    it_b,
+                    history_mode=hmode,
                 )
-                upd = lambda full, part: full.at[s_idx].set(part, mode="drop")
-                mv = upd(mv, mv_c)
-                history = upd(history, hist_c)
-                error = upd(error, err_c)
-                iters = upd(iters, it_c)
-                done = upd(done, done_c)
-            conv_host = np.asarray(done)
-            todo = np.nonzero(~conv_host)[0]
-            todo = todo[np.argsort(synd_weight[todo], kind="stable")]
+                upd = lambda a, v: a.at[idx].set(v)
+                return (
+                    b + 1,
+                    upd(mv, mv_c),
+                    upd(history, hist_c),
+                    upd(error, err_c),
+                    upd(done, done_c),
+                    upd(iters, it_c),
+                )
+
+            _, mv, history, error, done, iters = jax.lax.while_loop(
+                lambda c: c[0] * bucket < n_todo,
+                bp_body,
+                (jnp.int32(0), mv, history, error, done, iters),
+            )
 
         error = error.astype(jnp.uint8)
-        min_pm = jnp.sum(self._llr_dev[None, :] * (error == 1), axis=-1)
-        osd_applied = np.zeros(B, dtype=bool)
+        min_pm = jnp.sum(
+            jnp.where(error == 1, self._llr_dev[None, :], 0.0), axis=-1
+        )
+        osd_applied = jnp.zeros((B,), bool)
 
-        if self.osd_method is not None and len(todo):
-            # posterior slots: the non-converged shots' histories were last
-            # written by their final BP call (the last phase-B span)
-            last_call_iters = self.phase_b_spans[-1] if it_b > 0 else it_a
-            rel = self._reliability(history, last_call_iters)
-            bucket = max(32, self.osd_bucket)  # fixed shape: one compile
-            for lo in range(0, len(todo), bucket):
-                chunk = todo[lo : lo + bucket]
-                g_idx, s_idx = bucket_indices(chunk, bucket)
+        if osd_on:
+            # posterior slots: non-converged shots' histories were last
+            # written by their final BP call
+            last_iters = it_b if it_b > 0 else it_a
+            rel = self._reliability(history, last_iters)
+            obucket = _divisor_bucket(B, self.osd_bucket)
+            order2 = jnp.argsort(done.astype(jnp.int32), stable=True).astype(
+                jnp.int32
+            )
+            n_osd = jnp.sum((~done).astype(jnp.int32))
+
+            def osd_body(carry):
+                b, error, min_pm = carry
+                idx = jax.lax.dynamic_slice(order2, (b * obucket,), (obucket,))
+                take = lambda a: jnp.take(a, idx, axis=0)
                 osd = osd_decode(
                     self.H_words,
-                    jnp.take(synds, g_idx, axis=0),
-                    jnp.take(rel, g_idx, axis=0),
+                    take(synds),
+                    take(rel),
                     self._llr_dev,
                     self.patterns,
-                    m=self.m,
-                    n=self.n,
+                    m=m,
+                    n=n,
                     rank=self.rank,
                     k=self.k,
                     meta=self._osd_meta,
                 )
-                error = error.at[s_idx].set(
-                    osd["solution"].astype(jnp.uint8), mode="drop"
+                # boundary buckets may straddle converged shots: keep theirs
+                done_c = take(done)
+                err_new = jnp.where(
+                    done_c[:, None], take(error), osd["solution"].astype(jnp.uint8)
                 )
-                min_pm = min_pm.at[s_idx].set(osd["min_pm"], mode="drop")
-            osd_applied[todo] = True
+                pm_new = jnp.where(done_c, take(min_pm), osd["min_pm"])
+                return b + 1, error.at[idx].set(err_new), min_pm.at[idx].set(pm_new)
+
+            _, error, min_pm = jax.lax.while_loop(
+                lambda c: c[0] * obucket < n_osd,
+                osd_body,
+                (jnp.int32(0), error, min_pm),
+            )
+            osd_applied = ~done
 
         return {
             "error": error,
@@ -288,6 +299,10 @@ class BPOSD:
             "min_pm": min_pm,
             "osd_applied": osd_applied,
         }
+
+    def decode_batch_device(self, synds):
+        """Jitted ``core``: one device program per batch shape, no host syncs."""
+        return self._core_jit(synds)
 
     # -- host API ------------------------------------------------------------
 
@@ -299,7 +314,7 @@ class BPOSD:
             converged=np.asarray(out["converged"]),
             iterations=np.asarray(out["iterations"]),
             min_pm=np.asarray(out["min_pm"]),
-            osd_applied=out["osd_applied"],
+            osd_applied=np.asarray(out["osd_applied"]),
         )
 
     def decode(self, syndrome) -> np.ndarray:

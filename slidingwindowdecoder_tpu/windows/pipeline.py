@@ -112,6 +112,155 @@ def decode_sliding_window(
     }
 
 
+def _window_step_builder(decoder, m_w: int, ncommit: int):
+    """Pure per-window step: decode → commit → feedback.
+
+    Row/column offsets are *traced* scalars so one compiled step serves
+    every window that shares (decoder, window height, commit width) — the
+    interior windows of a (W, F) plan all reuse a single executable.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def step(new_det, total_e_hat, chk_commit_t, rs, cs):
+        S = new_det.shape[0]
+        synd = jax.lax.dynamic_slice(new_det, (jnp.int32(0), rs), (S, m_w))
+        out = decoder.core(synd)
+        committed = out["error"][:, :ncommit]
+        total_e_hat = jax.lax.dynamic_update_slice(
+            total_e_hat, committed, (jnp.int32(0), cs)
+        )
+        fb = _gf2_matmul(committed, chk_commit_t)
+        return new_det ^ fb, total_e_hat
+
+    return step
+
+
+def decode_sliding_window_sharded(
+    plan,
+    det_data,
+    decoder_factory,
+    mesh=None,
+    *,
+    verbose: bool = False,
+):
+    """The full (W, F) pipeline as compiled device programs, optionally
+    sharded over a shots mesh.
+
+    Functionally identical to ``decode_sliding_window`` (same per-shot
+    results), but every window is one jitted step with donated carries and
+    zero host syncs; with ``mesh`` the step runs under ``shard_map`` with
+    the shot axis partitioned — decode state is shard-local and there are
+    no collectives until the final count reduction (SURVEY §2.4 P1/P6).
+
+    Requires decoders exposing the pure ``core(synds)`` method (BPOSD).
+    With a mesh, the shot count must divide evenly over the devices.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    det = jnp.asarray(det_data, jnp.uint8)
+    S = det.shape[0]
+    num_col = plan.chk.shape[1]
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        if S % mesh.size:
+            raise ValueError(f"shots {S} must divide the mesh size {mesh.size}")
+        sharding = NamedSharding(mesh, P(axis, None))
+        det = jax.device_put(det, sharding)
+        total_e_hat = jax.device_put(
+            jnp.zeros((S, num_col), jnp.uint8), sharding
+        )
+    else:
+        total_e_hat = jnp.zeros((S, num_col), jnp.uint8)
+
+    chk_t = np.asarray(plan.chk.T, dtype=np.float32)  # [C, R]
+    steps: dict = {}
+    window_seconds: list[float] = []
+    for spec in plan.windows:
+        t0 = time.perf_counter()
+        decoder = decoder_factory(spec)
+        m_w = spec.row_end - spec.row_start
+        ncommit = (
+            spec.col_end if spec.is_last else spec.commit_col_end
+        ) - spec.col_start
+        key = (id(decoder), m_w, ncommit)
+        if key not in steps:
+            fn = _window_step_builder(decoder, m_w, ncommit)
+            if mesh is not None:
+                fn = jax.shard_map(
+                    fn,
+                    mesh=mesh,
+                    in_specs=(P(axis, None), P(axis, None), P(None, None), P(), P()),
+                    out_specs=(P(axis, None), P(axis, None)),
+                    check_vma=False,
+                )
+            steps[key] = jax.jit(fn, donate_argnums=(0, 1))
+        chk_commit_t = jnp.asarray(
+            chk_t[spec.col_start : spec.col_start + ncommit]
+        )
+        det, total_e_hat = steps[key](
+            det,
+            total_e_hat,
+            chk_commit_t,
+            jnp.int32(spec.row_start),
+            jnp.int32(spec.col_start),
+        )
+        dt = time.perf_counter() - t0
+        window_seconds.append(dt)
+        if verbose:
+            print(f"Window {spec.index}: dispatched ({dt:.2f}s)")
+
+    return {
+        "total_e_hat": total_e_hat,
+        "corrected_det": det,
+        "window_seconds": window_seconds,
+    }
+
+
+def evaluate_logical_errors_sharded(plan, det_data, obs_data, total_e_hat, mesh):
+    """Final accounting under ``shard_map``: local residual/observable
+    checks plus one ``psum`` count reduction — the only cross-device
+    communication in the whole Monte-Carlo (SURVEY §2.4 P6)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    sharding = NamedSharding(mesh, P(axis, None))
+    det = jax.device_put(_as_device_u8(det_data), sharding)
+    obs = jax.device_put(_as_device_u8(obs_data), sharding)
+    e_hat = _as_device_u8(total_e_hat)
+    chk_t = jnp.asarray(plan.chk.T, jnp.float32)
+    obs_t = jnp.asarray(plan.obs.T, jnp.float32)
+
+    def ev(det_l, obs_l, e_hat_l):
+        resid = _gf2_matmul(e_hat_l, chk_t) ^ det_l
+        flagged = resid.any(axis=1)
+        obs_hat = _gf2_matmul(e_hat_l, obs_t)
+        logical = (obs_hat ^ obs_l).any(axis=1)
+        failed = flagged | logical
+        n_flagged = jax.lax.psum(jnp.sum(flagged.astype(jnp.int32)), axis)
+        n_failed = jax.lax.psum(jnp.sum(failed.astype(jnp.int32)), axis)
+        return failed, n_flagged, n_failed
+
+    failed, n_flagged, n_failed = jax.jit(
+        jax.shard_map(
+            ev,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+            out_specs=(P(axis), P(), P()),
+            check_vma=False,
+        )
+    )(det, obs, e_hat)
+    return {
+        "failed": np.asarray(failed),
+        "num_flagged": int(n_flagged),
+        "num_failed": int(n_failed),
+    }
+
+
 def evaluate_logical_errors(plan, det_data, obs_data, total_e_hat):
     """Final accounting, matching osd.py:184-189: a shot fails if its global
     residual syndrome is nonzero (flagged) OR any observable is flipped."""

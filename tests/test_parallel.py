@@ -104,6 +104,63 @@ def test_mesh_shard_decode_multichip():
     assert int(out["num_errors"]) == failed
 
 
+def test_sharded_window_pipeline_matches_single():
+    """The flagship sliding-window BPOSD pipeline, run (a) with the host
+    window loop, (b) as jitted device steps on one device, and (c) under
+    shard_map on an 8-device mesh, must produce bit-identical corrections
+    (per-shot results are independent of batch placement)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from slidingwindowdecoder_tpu.circuits import sample_dem_numpy
+    from slidingwindowdecoder_tpu.decoders import BPOSD
+    from slidingwindowdecoder_tpu.harness.circuit_level import (
+        build_bb_window_experiment,
+    )
+    from slidingwindowdecoder_tpu.windows.pipeline import (
+        CachingDecoderFactory,
+        decode_sliding_window,
+        decode_sliding_window_sharded,
+        evaluate_logical_errors,
+        evaluate_logical_errors_sharded,
+    )
+
+    code, circuit, dem, plan = build_bb_window_experiment(
+        72, 0.004, 3, 3, 1, method=1
+    )
+    rng = np.random.default_rng(7)
+    det, obs, _ = sample_dem_numpy(dem, 32, rng)
+    factory = CachingDecoderFactory(
+        lambda spec: BPOSD(
+            spec.mat,
+            spec.prior,
+            max_iter=60,
+            phase_a_iters=8,
+            osd_method="osd_cs",
+            osd_order=4,
+            bp_bucket=8,
+            osd_bucket=8,
+        )
+    )
+    ref = decode_sliding_window(
+        plan, det, factory, verbose=False, collect_window_stats=False
+    )
+    single = decode_sliding_window_sharded(plan, det, factory)
+    np.testing.assert_array_equal(
+        np.asarray(ref["total_e_hat"]), np.asarray(single["total_e_hat"])
+    )
+    mesh = make_shot_mesh(jax.devices()[:8])
+    sharded = decode_sliding_window_sharded(plan, det, factory, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(ref["total_e_hat"]), np.asarray(sharded["total_e_hat"])
+    )
+    ev = evaluate_logical_errors(plan, det, obs, ref["total_e_hat"])
+    evs = evaluate_logical_errors_sharded(
+        plan, det, obs, sharded["total_e_hat"], mesh
+    )
+    assert evs["num_failed"] == ev["num_failed"]
+    assert evs["num_flagged"] == ev["num_flagged"]
+
+
 def test_cli_smoke():
     out = subprocess.run(
         [
