@@ -48,6 +48,56 @@ def test_initialize_distributed_single_process():
     assert len(info["devices"]) >= 1
 
 
+def test_two_process_distributed(tmp_path):
+    """2-process jax.distributed CPU smoke (VERDICT #4): both processes
+    initialize against a local coordinator, decode disjoint host shot
+    ranges with disjoint seeds, and agree on the psum-reduced failure
+    count."""
+    import os
+    import socket
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = {
+            **os.environ,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        }
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "tests/_dist_child.py"],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                env=env,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-3000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert {o["pid"] for o in outs} == {0, 1}
+    assert all(o["nproc"] == 2 for o in outs)
+    assert all(o["devices"] == 4 for o in outs)  # 2 procs x 2 local devices
+    assert sum(o["count"] for o in outs) == 96
+    expect = sum(o["local_failed"] for o in outs)
+    assert all(o["global_failed"] == expect for o in outs)
+
+
 def test_checkpoint_resume(tmp_path):
     calls = []
 
@@ -68,6 +118,57 @@ def test_checkpoint_resume(tmp_path):
     assert out["counts"]["failed"] == sum(range(10))
     # batches before the checkpoint were not re-run
     assert sorted(set(calls))[:2] == [0, 1]
+
+
+def test_checkpoint_resume_rng_equivalence(tmp_path):
+    """With root_seed, an interrupted+resumed run accumulates IDENTICAL
+    counts to an uninterrupted run: batch randomness is derived from
+    (root_seed, process_id, batch_index), never carried (VERDICT #7)."""
+    from slidingwindowdecoder_tpu.parallel.checkpoint import batch_rng
+
+    def make_run_batch(crash_at=None):
+        calls = {"n": 0}
+
+        def run_batch(idx, shots, rng):
+            calls["n"] += 1
+            if crash_at is not None and calls["n"] == crash_at:
+                raise KeyboardInterrupt
+            # counts depend on the rng stream, so mixed streams would differ
+            draws = rng.integers(0, 1000, size=shots)
+            return {"failed": int((draws < 37).sum()), "sum": int(draws.sum())}
+
+        return run_batch
+
+    straight = run_checkpointed(
+        100,
+        10,
+        make_run_batch(),
+        MonteCarloCheckpoint(str(tmp_path / "a"), process_id=0),
+        checkpoint_every=3,
+        root_seed=99,
+    )
+
+    ckpt = MonteCarloCheckpoint(str(tmp_path / "b"), process_id=0)
+    with pytest.raises(KeyboardInterrupt):
+        run_checkpointed(
+            100, 10, make_run_batch(crash_at=5), ckpt,
+            checkpoint_every=3, root_seed=99,
+        )
+    resumed = run_checkpointed(
+        100, 10, make_run_batch(), ckpt, checkpoint_every=3, root_seed=99
+    )
+    assert resumed == straight
+
+    # a different seed must be refused, not silently mixed in
+    with pytest.raises(ValueError, match="root_seed"):
+        run_checkpointed(
+            200, 10, make_run_batch(), ckpt, checkpoint_every=3, root_seed=7
+        )
+
+    # the derivation itself is pure
+    a = batch_rng(5, 2, 11).integers(0, 10**9, 16)
+    b = batch_rng(5, 2, 11).integers(0, 10**9, 16)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_metrics():
