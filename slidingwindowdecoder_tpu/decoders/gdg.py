@@ -99,6 +99,77 @@ def build_branch_tables(
     }
 
 
+def _select_and_decimate(
+    garr,
+    history,
+    error,
+    synd,
+    vn_state,
+    cn_state,
+    cn_degree,
+    dead,
+    active,
+    A_col,  # [B, 1] threshold A per row
+    A_sum_row,  # [B] threshold A_sum per row
+    c_allowed,  # [B] bool: depth < 4 gate on the C rule
+    *,
+    low_error_mode: bool,
+    vn_deg,
+):
+    """The reference ``select_vn`` scan (bpgd.cpp:288-351 == pyx:340-442):
+    aggressive C/D/A decimation applied at once + peel, then the guess
+    choice (min history-sum, preferring all-negative histories).
+
+    Returns (vn_state, cn_state, cn_degree, dead, guess_vn, favor,
+    has_cand). Shared by the vmapped ensemble and the serial work-queue.
+    """
+    C_thr, D_thr = 30.0, 3.0
+    B, n = vn_state.shape
+    hist_min = jnp.min(history, axis=-1)
+    hist_max = jnp.max(history, axis=-1)
+    hist_sum = jnp.sum(history, axis=-1)
+    eligible = (vn_state == -1) & (vn_deg[None, :] > 2) & active[:, None]
+
+    if low_error_mode:
+        mC = jnp.zeros_like(eligible)
+        mD = jnp.zeros_like(eligible)
+        mA = jnp.zeros_like(eligible)
+    else:
+        num_flip = unsatisfied_counts(garr, error, synd, cn_state)
+        mC = eligible & (hist_min >= C_thr) & c_allowed[:, None]
+        mD = eligible & ~mC & (num_flip >= 3) & (hist_min >= D_thr)
+        mA = (
+            eligible
+            & ~mC
+            & ~mD
+            & (hist_max <= A_col)
+            & (hist_sum < A_sum_row[:, None])
+        )
+    agg = mC | mD | mA
+
+    # guess candidates evaluated before the peel (reference scan order)
+    cand = eligible & ~agg
+    all_neg = jnp.all(history <= 0.0, axis=-1)
+    big = jnp.float32(MAX_PM)
+    key_any = jnp.where(cand, hist_sum, big)
+    key_neg = jnp.where(cand & all_neg, hist_sum, big)
+    has_neg = jnp.any(key_neg < big, axis=-1)
+    has_any = jnp.any(key_any < big, axis=-1)
+    vn_neg = jnp.argmin(key_neg, axis=-1)
+    vn_any = jnp.argmin(key_any, axis=-1)
+    guess_vn = jnp.where(has_neg, vn_neg, vn_any).astype(jnp.int32)
+    sum_any = jnp.min(key_any, axis=-1)
+    favor = jnp.where(has_neg, jnp.int8(1), (sum_any <= 0.0).astype(jnp.int8))
+
+    vn_state, cn_state, cn_degree, dead = vn_set_values(
+        garr, vn_state, cn_state, cn_degree, dead, agg, mA.astype(jnp.int8)
+    )
+    vn_state, cn_state, cn_degree, dead = peel(
+        garr, vn_state, cn_state, cn_degree, dead
+    )
+    return vn_state, cn_state, cn_degree, dead, guess_vn, favor, has_neg | has_any
+
+
 @partial(
     jax.jit,
     static_argnames=("num_iter", "D_max", "NB", "alpha", "clip", "low_error_mode",
@@ -149,7 +220,6 @@ def gdg_ensemble(
     conv_pm = jnp.full((BN,), MAX_PM, jnp.float32)
     conv_error = jnp.zeros((BN, n), jnp.int8)
     vn_deg = garr["vn_degree"]
-    C_thr, D_thr = 30.0, 3.0
 
     def step(d, carry):
         (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
@@ -173,54 +243,33 @@ def gdg_ensemble(
         # --- select_vn: aggressive decimation + guess choice ---------------
         A = A_arr[branch_of_row, d][:, None]
         A_sum = Asum_arr[branch_of_row, d]
-        hist_min = jnp.min(history, axis=-1)
-        hist_max = jnp.max(history, axis=-1)
-        hist_sum = jnp.sum(history, axis=-1)
-        num_flip = unsatisfied_counts(garr, error, synd, cn_state)
-        eligible = (vn_state == -1) & (vn_deg[None, :] > 2) & active[:, None]
-
-        if low_error_mode:
-            mC = jnp.zeros_like(eligible)
-            mD = jnp.zeros_like(eligible)
-            mA = jnp.zeros_like(eligible)
-        else:
-            mC = eligible & (hist_min >= C_thr) & (d < 4)
-            mD = eligible & ~mC & (num_flip >= 3) & (hist_min >= D_thr)
-            mA = (
-                eligible
-                & ~mC
-                & ~mD
-                & (hist_max <= A)
-                & (hist_sum < A_sum[:, None])
-            )
-        agg = mC | mD | mA
-
-        # guess candidates evaluated before the peel (reference scan order)
-        cand = eligible & ~agg
-        all_neg = jnp.all(history <= 0.0, axis=-1)
-        big = jnp.float32(MAX_PM)
-        key_any = jnp.where(cand, hist_sum, big)
-        key_neg = jnp.where(cand & all_neg, hist_sum, big)
-        has_neg = jnp.any(key_neg < big, axis=-1)
-        has_any = jnp.any(key_any < big, axis=-1)
-        vn_neg = jnp.argmin(key_neg, axis=-1)
-        vn_any = jnp.argmin(key_any, axis=-1)
-        guess_vn = jnp.where(has_neg, vn_neg, vn_any).astype(jnp.int32)
-        sum_any = jnp.min(key_any, axis=-1)
-        favor = jnp.where(
-            has_neg, jnp.int8(1), (sum_any <= 0.0).astype(jnp.int8)
-        )
-
-        # apply aggressive decimation, then peel
-        vn_state, cn_state, cn_degree, dead = vn_set_values(
-            garr, vn_state, cn_state, cn_degree, dead, agg, mA.astype(jnp.int8)
-        )
-        vn_state, cn_state, cn_degree, dead = peel(
-            garr, vn_state, cn_state, cn_degree, dead
+        (
+            vn_state,
+            cn_state,
+            cn_degree,
+            dead,
+            guess_vn,
+            favor,
+            has_cand,
+        ) = _select_and_decimate(
+            garr,
+            history,
+            error,
+            synd,
+            vn_state,
+            cn_state,
+            cn_degree,
+            dead,
+            active,
+            A,
+            A_sum,
+            jnp.broadcast_to(d < 4, active.shape),
+            low_error_mode=low_error_mode,
+            vn_deg=vn_deg,
         )
 
         # no candidate -> branch ends (reference guess_vn == -1 break)
-        halted = halted | (active & ~has_neg & ~has_any)
+        halted = halted | (active & ~has_cand)
 
         # --- decision: favored, possibly flipped for this branch -----------
         flip = flip_now[branch_of_row, d]
@@ -272,9 +321,285 @@ def gdg_ensemble(
     }
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_iter",
+        "max_step",
+        "max_tree_depth",
+        "max_side_depth",
+        "max_side_branch_step",
+        "max_guess",
+        "alpha",
+        "clip",
+        "low_error_mode",
+        "msg_dtype",
+    ),
+)
+def gdg_serial(
+    garr,
+    llr,
+    syndrome,  # [B, m]
+    vn_state0,
+    cn_state0,
+    cn_degree0,
+    dead0,
+    *,
+    num_iter: int,
+    max_step: int,
+    max_tree_depth: int,
+    max_side_depth: int,
+    max_side_branch_step: int,
+    max_guess: int,
+    alpha: float,
+    clip: float,
+    low_error_mode: bool,
+    msg_dtype: str = "float32",
+):
+    """Single-thread GDG semantics (``bpgdg_decoder.gdg``,
+    bp_guessing_decoder.pyx:254-338) as a batched lockstep work-queue.
+
+    Phase 1 grows the main (all-favored) branch, pushing one anti-decision
+    snapshot per depth (< max_side_depth) onto a per-shot queue. Phase 2
+    walks the queue in push order: a snapshot whose depth exceeds the
+    shot's ``min_converge_depth`` is pruned (the reference's pm-based
+    side-branch pruning), otherwise its masks are restored, messages
+    reinitialize to the priors (set_masks → init), the anti-decision is
+    applied, and the branch runs up to ``max_side_branch_step`` steps —
+    converging branches with smaller path metric take over (best error,
+    min_pm, and min_converge_depth), a branch whose depth passes
+    ``min_converge_depth + 2`` stops early, and shallow side branches
+    (depth <= max_tree_depth) may push further snapshots, exactly like the
+    reference's growing ``used_guess`` stack (bounded by ``max_guess``).
+
+    The queue walk is sequential per shot — that is the semantics being
+    reproduced — but all shots advance in lockstep, so each queue slot is
+    one batched masked-BP + decimation program.
+    """
+    B, m = syndrome.shape
+    n = garr["vn_valid"].shape[0]
+    G = max_guess
+    llr_b = jnp.broadcast_to(llr, (B, n))
+    vn_deg = garr["vn_degree"]
+    bidx = jnp.arange(B)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+
+    q_vn = jnp.zeros((B, G, n), jnp.int8)
+    q_cn = jnp.zeros((B, G, m), jnp.int8)
+    q_deg = jnp.zeros((B, G, m), jnp.int32)
+    q_guess = jnp.zeros((B, G), jnp.int32)
+    q_val = jnp.zeros((B, G), jnp.int8)
+    q_depth = jnp.full((B, G), jnp.int32(1 << 30))
+    used = jnp.zeros((B,), jnp.int32)
+
+    mv = bp_init_messages(garr, llr_b, B)
+    history, error, _, iters = fresh_bp_state(garr, B)
+    vn_state, cn_state, cn_degree, dead = vn_state0, cn_state0, cn_degree0, dead0
+    halted = dead0
+    converged = jnp.zeros((B,), bool)
+    min_pm = jnp.full((B,), MAX_PM, jnp.float32)
+    best_err = jnp.zeros((B, n), jnp.int8)
+    min_conv_depth = jnp.full((B,), max_step, jnp.int32)
+
+    def push_snapshot(queues, push, vn_state, cn_state, cn_degree, guess_vn,
+                      favor, depth):
+        q_vn, q_cn, q_deg, q_guess, q_val, q_depth, used = queues
+        slot = jnp.where(push, used, G)  # out-of-range slot G == dropped
+        q_vn = q_vn.at[bidx, slot].set(vn_state, mode="drop")
+        q_cn = q_cn.at[bidx, slot].set(cn_state, mode="drop")
+        q_deg = q_deg.at[bidx, slot].set(cn_degree, mode="drop")
+        q_guess = q_guess.at[bidx, slot].set(guess_vn, mode="drop")
+        q_val = q_val.at[bidx, slot].set(
+            (1 - favor).astype(jnp.int8), mode="drop"
+        )
+        q_depth = q_depth.at[bidx, slot].set(depth, mode="drop")
+        used = used + push.astype(jnp.int32)
+        return q_vn, q_cn, q_deg, q_guess, q_val, q_depth, used
+
+    def decide_and_peel(vn_state, cn_state, cn_degree, dead, do_set, guess_vn,
+                        value):
+        onehot = (iota_n == guess_vn[:, None]) & do_set[:, None]
+        vn_state, cn_state, cn_degree, dead = vn_set_values(
+            garr, vn_state, cn_state, cn_degree, dead,
+            onehot, jnp.broadcast_to(value[:, None], (B, n)),
+        )
+        return peel(garr, vn_state, cn_state, cn_degree, dead)
+
+    # ---- phase 1: main branch -------------------------------------------
+    def p1_body(d, carry):
+        (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
+         converged, min_pm, best_err, min_conv_depth, queues, iters) = carry
+        active = ~halted
+        mv, history, error, bp_done, iters = bp_run(
+            garr, mv, llr_b, syndrome, vn_state, cn_state, history, error,
+            ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
+            msg_dtype=msg_dtype,
+        )
+        newly = bp_done & active
+        pm = jnp.sum(llr_b * (error == 1), axis=-1)
+        min_pm = jnp.where(newly, pm, min_pm)
+        best_err = jnp.where(newly[:, None], error, best_err)
+        min_conv_depth = jnp.where(newly, d, min_conv_depth)
+        converged = converged | newly
+        halted = halted | newly
+        active = active & ~newly
+
+        A_col = jnp.full((B, 1), -3.0, jnp.float32)
+        A_sum = jnp.full(
+            (B,), 1.0, jnp.float32
+        ) * jnp.where(d == 0, jnp.float32(-16.0), jnp.float32(-12.0))
+        (vn_state, cn_state, cn_degree, dead, guess_vn, favor, has_cand) = (
+            _select_and_decimate(
+                garr, history, error, syndrome, vn_state, cn_state, cn_degree,
+                dead, active, A_col, A_sum,
+                jnp.broadcast_to(d < 4, (B,)),
+                low_error_mode=low_error_mode, vn_deg=vn_deg,
+            )
+        )
+
+        push = (
+            active & ~dead & has_cand & (d < max_side_depth) & (used_of(queues) < G)
+        )
+        queues = push_snapshot(
+            queues, push, vn_state, cn_state, cn_degree, guess_vn, favor, d + 1
+        )
+
+        do_set = active & ~dead & has_cand
+        vn_state, cn_state, cn_degree, dead = decide_and_peel(
+            vn_state, cn_state, cn_degree, dead, do_set, guess_vn,
+            favor.astype(jnp.int8),
+        )
+        halted = halted | dead | (active & ~has_cand)
+        error = jnp.where(vn_state != -1, vn_state, error)
+        return (mv, history, error, vn_state, cn_state, cn_degree, dead,
+                halted, converged, min_pm, best_err, min_conv_depth, queues,
+                iters)
+
+    def used_of(queues):
+        return queues[-1]
+
+    queues = (q_vn, q_cn, q_deg, q_guess, q_val, q_depth, used)
+    carry = (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
+             converged, min_pm, best_err, min_conv_depth, queues, iters)
+    carry = jax.lax.fori_loop(0, max_step, p1_body, carry)
+    (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
+     converged, min_pm, best_err, min_conv_depth, queues, iters) = carry
+
+    # unconverged shots still carry the main branch decision (pyx:293-296)
+    best_err = jnp.where(converged[:, None], best_err, error)
+
+    # ---- phase 2: side branches with pm/depth pruning --------------------
+    def p2_cond(carry):
+        i = carry[0]
+        queues = carry[6]
+        return (i < G) & (i < jnp.max(used_of(queues)))
+
+    def p2_body(carry):
+        (i, history, error, converged, min_pm, best_err, queues,
+         min_conv_depth, iters) = carry
+        (q_vn, q_cn, q_deg, q_guess, q_val, q_depth, used) = queues
+        alt_depth = q_depth[:, i]
+        valid = (i < used) & (alt_depth <= min_conv_depth)
+        vn_state = q_vn[:, i]
+        cn_state = q_cn[:, i]
+        cn_degree = q_deg[:, i]
+        dead = ~valid
+        vn_state, cn_state, cn_degree, dead = decide_and_peel(
+            vn_state, cn_state, cn_degree, dead, valid, q_guess[:, i],
+            q_val[:, i],
+        )
+        b_active = valid & ~dead
+        mv = bp_init_messages(garr, llr_b, B)  # set_masks -> init()
+
+        def inner_cond(ic):
+            return (ic[0] < max_side_branch_step) & jnp.any(ic[4])
+
+        def inner_body(ic):
+            (j, mv, history, error, b_active, vn_state, cn_state, cn_degree,
+             dead, converged, min_pm, best_err, min_conv_depth, queues,
+             iters) = ic
+            cur_depth = alt_depth + j
+            mv, history, error, bp_done, iters = bp_run(
+                garr, mv, llr_b, syndrome, vn_state, cn_state, history, error,
+                ~b_active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
+                msg_dtype=msg_dtype,
+            )
+            newly = bp_done & b_active
+            pm = jnp.sum(llr_b * (error == 1), axis=-1)
+            better = newly & (pm < min_pm)
+            min_pm = jnp.where(better, pm, min_pm)
+            best_err = jnp.where(better[:, None], error, best_err)
+            min_conv_depth = jnp.where(
+                better & (cur_depth < min_conv_depth), cur_depth, min_conv_depth
+            )
+            converged = converged | newly
+            b_active = b_active & ~newly
+            # heuristic early stop (pyx:325-326)
+            b_active = b_active & ~(cur_depth > min_conv_depth + 2)
+
+            A_col = jnp.zeros((B, 1), jnp.float32)
+            A_sum = jnp.full((B,), -10.0, jnp.float32)
+            (vn_state, cn_state, cn_degree, dead, guess_vn, favor, has_cand) = (
+                _select_and_decimate(
+                    garr, history, error, syndrome, vn_state, cn_state,
+                    cn_degree, dead, b_active, A_col, A_sum, cur_depth < 4,
+                    low_error_mode=low_error_mode, vn_deg=vn_deg,
+                )
+            )
+            push = (
+                b_active & ~dead & has_cand
+                & (cur_depth <= max_tree_depth)
+                & (cur_depth <= min_conv_depth)
+                & (used_of(queues) < G)
+            )
+            queues = push_snapshot(
+                queues, push, vn_state, cn_state, cn_degree, guess_vn, favor,
+                cur_depth + 1,
+            )
+            do_set = b_active & ~dead & has_cand
+            vn_state, cn_state, cn_degree, dead = decide_and_peel(
+                vn_state, cn_state, cn_degree, dead, do_set, guess_vn,
+                favor.astype(jnp.int8),
+            )
+            b_active = b_active & ~dead & has_cand
+            error = jnp.where(vn_state != -1, vn_state, error)
+            return (j + 1, mv, history, error, b_active, vn_state, cn_state,
+                    cn_degree, dead, converged, min_pm, best_err,
+                    min_conv_depth, queues, iters)
+
+        ic = (jnp.int32(0), mv, history, error, b_active, vn_state, cn_state,
+              cn_degree, dead, converged, min_pm, best_err, min_conv_depth,
+              queues, iters)
+        ic = jax.lax.while_loop(inner_cond, inner_body, ic)
+        (_, mv, history, error, b_active, vn_state, cn_state, cn_degree,
+         dead, converged, min_pm, best_err, min_conv_depth, queues, iters) = ic
+        return (i + 1, history, error, converged, min_pm, best_err, queues,
+                min_conv_depth, iters)
+
+    if G > 0:  # static: G == 0 means side branches disabled entirely
+        carry2 = (jnp.int32(0), history, error, converged, min_pm, best_err,
+                  queues, min_conv_depth, iters)
+        carry2 = jax.lax.while_loop(p2_cond, p2_body, carry2)
+        (_, history, error, converged, min_pm, best_err, queues,
+         min_conv_depth, iters) = carry2
+
+    return {
+        "error": best_err.astype(jnp.uint8),
+        "converged": converged,
+        "min_pm": min_pm,
+        "iterations": iters,
+    }
+
+
 class GDG:
-    """Batched GDG decoder mirroring ``bpgdg_decoder`` (multi-thread
-    semantics, bp_guessing_decoder.pyx:160-251).
+    """Batched GDG decoder mirroring ``bpgdg_decoder``
+    (bp_guessing_decoder.pyx:160-338).
+
+    ``multi_thread=True`` (default here; the flagship throughput path) runs
+    the reference's parallel ensemble as vmapped branch lanes;
+    ``multi_thread=False`` runs the reference's *default* serialized
+    work-queue with pm/depth side-branch pruning (``gdg_serial``) — fewer
+    total BP steps per shot, sequential queue walk.
 
     Shortening is realized by *deciding* the n - new_n most-reliable columns
     to 0 on the full masked graph (equivalent to the reference's column
@@ -300,6 +625,7 @@ class GDG:
         clip: float = 50.0,
         ensemble_bucket: int = 64,
         msg_dtype: str = "float32",
+        multi_thread: bool = True,
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -315,6 +641,17 @@ class GDG:
         self.msg_dtype = str(msg_dtype)
         self.new_n = min(self.n, 2 * self.m) if new_n is None else min(new_n, self.n)
         self.ensemble_bucket = int(ensemble_bucket)
+        self.multi_thread = bool(multi_thread)
+        self.max_step = int(max_step)
+        self.max_tree_depth = int(max_tree_depth)
+        self.max_side_depth = int(max_side_depth)
+        self.max_side_branch_step = int(max_side_branch_step)
+        # reference max_guess (bp_guessing_decoder.pyx:181)
+        self.max_guess = (
+            2 * (2**self.max_tree_depth - 1)
+            + self.max_side_depth
+            - self.max_tree_depth
+        )
 
         self.graph = compile_graph(pcm)
         self.garr = graph_device_arrays(self.graph)
@@ -390,27 +727,48 @@ class GDG:
                 s[: len(chunk)] = syndromes[chunk]
                 ls[: len(chunk)] = llr_sum[chunk]
                 vn0, cn0, cd0, dead0 = self._shorten_state(s, ls)
-                out = gdg_ensemble(
-                    self.garr,
-                    self._llr_dev,
-                    jnp.asarray(s),
-                    vn0,
-                    cn0,
-                    cd0,
-                    dead0,
-                    self._tables["flip_now"],
-                    self._tables["reinit"],
-                    self._tables["budget"],
-                    self._tables["A"],
-                    self._tables["A_sum"],
-                    num_iter=self.num_iter_per_step,
-                    D_max=self.D_max,
-                    NB=self.NB,
-                    alpha=self.gdg_factor,
-                    clip=self.clip,
-                    low_error_mode=self.low_error_mode,
-                    msg_dtype=self.msg_dtype,
-                )
+                if self.multi_thread:
+                    out = gdg_ensemble(
+                        self.garr,
+                        self._llr_dev,
+                        jnp.asarray(s),
+                        vn0,
+                        cn0,
+                        cd0,
+                        dead0,
+                        self._tables["flip_now"],
+                        self._tables["reinit"],
+                        self._tables["budget"],
+                        self._tables["A"],
+                        self._tables["A_sum"],
+                        num_iter=self.num_iter_per_step,
+                        D_max=self.D_max,
+                        NB=self.NB,
+                        alpha=self.gdg_factor,
+                        clip=self.clip,
+                        low_error_mode=self.low_error_mode,
+                        msg_dtype=self.msg_dtype,
+                    )
+                else:
+                    out = gdg_serial(
+                        self.garr,
+                        self._llr_dev,
+                        jnp.asarray(s),
+                        vn0,
+                        cn0,
+                        cd0,
+                        dead0,
+                        num_iter=self.num_iter_per_step,
+                        max_step=self.max_step,
+                        max_tree_depth=self.max_tree_depth,
+                        max_side_depth=self.max_side_depth,
+                        max_side_branch_step=self.max_side_branch_step,
+                        max_guess=self.max_guess,
+                        alpha=self.gdg_factor,
+                        clip=self.clip,
+                        low_error_mode=self.low_error_mode,
+                        msg_dtype=self.msg_dtype,
+                    )
                 error[chunk] = np.asarray(out["error"])[: len(chunk)]
                 converged[chunk] = np.asarray(out["converged"])[: len(chunk)]
                 min_pm[chunk] = np.asarray(out["min_pm"])[: len(chunk)]

@@ -175,8 +175,10 @@ def decode_sliding_window_sharded(
     else:
         total_e_hat = jnp.zeros((S, num_col), jnp.uint8)
 
-    chk_t = np.asarray(plan.chk.T, dtype=np.float32)  # [C, R]
-    steps: dict = {}
+    # full feedback matrix uploaded once; per-window slices are device ops
+    chk_t = jnp.asarray(np.asarray(plan.chk.T, dtype=np.float32))  # [C, R]
+    if mesh is not None:
+        chk_t = jax.device_put(chk_t, NamedSharding(mesh, P(None, None)))
     window_seconds: list[float] = []
     for spec in plan.windows:
         t0 = time.perf_counter()
@@ -185,8 +187,14 @@ def decode_sliding_window_sharded(
         ncommit = (
             spec.col_end if spec.is_last else spec.commit_col_end
         ) - spec.col_start
-        key = (id(decoder), m_w, ncommit)
-        if key not in steps:
+        # jitted steps are cached ON the decoder so repeated pipeline calls
+        # (and the windows sharing a decoder) reuse compiled executables
+        # instead of retracing fresh closures every call
+        cache = getattr(decoder, "_window_step_cache", None)
+        if cache is None:
+            cache = decoder._window_step_cache = {}
+        key = (m_w, ncommit, mesh)
+        if key not in cache:
             fn = _window_step_builder(decoder, m_w, ncommit)
             if mesh is not None:
                 fn = jax.shard_map(
@@ -196,11 +204,11 @@ def decode_sliding_window_sharded(
                     out_specs=(P(axis, None), P(axis, None)),
                     check_vma=False,
                 )
-            steps[key] = jax.jit(fn, donate_argnums=(0, 1))
-        chk_commit_t = jnp.asarray(
-            chk_t[spec.col_start : spec.col_start + ncommit]
+            cache[key] = jax.jit(fn, donate_argnums=(0, 1))
+        chk_commit_t = jax.lax.dynamic_slice(
+            chk_t, (spec.col_start, 0), (ncommit, chk_t.shape[1])
         )
-        det, total_e_hat = steps[key](
+        det, total_e_hat = cache[key](
             det,
             total_e_hat,
             chk_commit_t,

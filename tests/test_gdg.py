@@ -152,3 +152,67 @@ def test_gdg_beats_plain_bp_convergence(bb72, rng):
     r_bp = bp.decode_batch(synds)
     r_gdg = gdg.decode_batch(synds)
     assert r_gdg.converged.sum() > r_bp.converged.sum()
+
+
+def test_gdg_serial_decodes_code_capacity(bb72, rng):
+    """Single-thread GDG semantics (bp_guessing_decoder.pyx:254-338): the
+    serialized work-queue with pm/depth pruning must converge to
+    syndrome-consistent corrections at reference parameters."""
+    p = 0.05
+    dec = GDG(
+        bb72.hx,
+        np.full(bb72.N, p),
+        max_iter=24,
+        ms_scaling_factor=0.625,
+        gdg_factor=0.625,
+        max_iter_per_step=6,
+        max_step=40,
+        new_n=bb72.N,
+        low_error_mode=True,
+        ensemble_bucket=16,
+        multi_thread=False,
+    )
+    shots = 48
+    errs = (rng.random((shots, bb72.N)) < p).astype(np.uint8)
+    synds = (errs @ bb72.hx.T) % 2
+    res = dec.decode_batch(synds)
+    resid = (res.error.astype(int) @ bb72.hx.T + synds) % 2
+    assert (resid[res.converged] == 0).all()
+    assert res.converged.mean() > 0.9
+    # min_pm is consistent with the returned error
+    llr = np.log((1 - p) / p)
+    pm_expect = res.error.sum(axis=1) * llr
+    np.testing.assert_allclose(
+        res.min_pm[res.converged], pm_expect[res.converged], rtol=1e-4
+    )
+
+
+def test_gdg_serial_main_branch_equals_ensemble(bb72, rng):
+    """With side branches disabled (max_tree_depth=0, max_side_depth=0),
+    both modes reduce to the pure main decimation branch and must agree
+    bitwise."""
+    p = 0.05
+    kw = dict(
+        max_iter=16,
+        ms_scaling_factor=0.625,
+        gdg_factor=0.625,
+        max_iter_per_step=6,
+        max_step=30,
+        max_tree_depth=0,
+        max_side_depth=0,
+        new_n=bb72.N,
+        low_error_mode=True,
+        ensemble_bucket=16,
+    )
+    shots = 32
+    errs = (rng.random((shots, bb72.N)) < p).astype(np.uint8)
+    synds = (errs @ bb72.hx.T) % 2
+    res_m = GDG(bb72.hx, np.full(bb72.N, p), multi_thread=True, **kw).decode_batch(synds)
+    res_s = GDG(bb72.hx, np.full(bb72.N, p), multi_thread=False, **kw).decode_batch(synds)
+    np.testing.assert_array_equal(res_m.converged, res_s.converged)
+    np.testing.assert_array_equal(
+        res_m.error[res_m.converged], res_s.error[res_s.converged]
+    )
+    np.testing.assert_allclose(
+        res_m.min_pm[res_m.converged], res_s.min_pm[res_s.converged], rtol=1e-5
+    )

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Throughput sweep over pipeline/decoder configs on the real chip.
+
+Usage: python tools/bench_sweep.py [--shots 16384]
+Prints one line per config: name, seconds, shots/s, num_failed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shots", type=int, default=16384)
+    ap.add_argument("--configs", type=str, default="")
+    args = ap.parse_args()
+
+    import jax
+
+    from slidingwindowdecoder_tpu.utils.compile_cache import enable
+
+    enable()
+    from slidingwindowdecoder_tpu.circuits import sample_dem_numpy
+    from slidingwindowdecoder_tpu.decoders import BPOSD
+    from slidingwindowdecoder_tpu.harness.circuit_level import (
+        build_bb_window_experiment,
+    )
+    from slidingwindowdecoder_tpu.windows.pipeline import (
+        CachingDecoderFactory,
+        decode_sliding_window,
+        decode_sliding_window_sharded,
+        evaluate_logical_errors,
+    )
+
+    code, circuit, dem, plan = build_bb_window_experiment(
+        144, 0.004, 12, 3, 1, method=1
+    )
+    rng = np.random.default_rng(2024)
+    det, obs, _ = sample_dem_numpy(dem, args.shots, rng)
+
+    def factory_for(kw):
+        return CachingDecoderFactory(
+            lambda spec: BPOSD(
+                spec.mat,
+                spec.prior,
+                max_iter=200,
+                ms_scaling_factor=1.0,
+                osd_method="osd_cs",
+                osd_order=10,
+                **kw,
+            )
+        )
+
+    CONFIGS = {
+        # name: (pipeline, decoder kwargs)
+        "hostloop_b128_o512_a24_bf16": (
+            "host",
+            dict(bp_bucket=128, osd_bucket=512, msg_dtype="bfloat16"),
+        ),
+        "hostloop_b256_o512_a24_bf16": (
+            "host",
+            dict(bp_bucket=256, osd_bucket=512, msg_dtype="bfloat16"),
+        ),
+        "jitstep_b128_o512_a24_bf16": (
+            "jit",
+            dict(bp_bucket=128, osd_bucket=512, msg_dtype="bfloat16"),
+        ),
+        "jitstep_b256_o512_a24_bf16": (
+            "jit",
+            dict(bp_bucket=256, osd_bucket=512, msg_dtype="bfloat16"),
+        ),
+        "jitstep_b512_o1024_a24_bf16": (
+            "jit",
+            dict(bp_bucket=512, osd_bucket=1024, msg_dtype="bfloat16"),
+        ),
+    }
+    if args.configs:
+        names = args.configs.split(",")
+        CONFIGS = {k: v for k, v in CONFIGS.items() if k in names}
+
+    for name, (mode, kw) in CONFIGS.items():
+        factory = factory_for(kw)
+
+        def run():
+            if mode == "host":
+                out = decode_sliding_window(
+                    plan, det, factory, verbose=False,
+                    collect_window_stats=False,
+                )
+            else:
+                out = decode_sliding_window_sharded(plan, det, factory)
+            jax.block_until_ready(out["total_e_hat"])
+            return out
+
+        log(f"[{name}] warmup ...")
+        t0 = time.perf_counter()
+        run()
+        log(f"[{name}] warmup {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        out = run()
+        dt = time.perf_counter() - t0
+        ev = evaluate_logical_errors(plan, det, obs, out["total_e_hat"])
+        print(
+            f"{name}: {dt:.2f}s  {args.shots / dt:.1f} shots/s  "
+            f"failed={ev['num_failed']}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
