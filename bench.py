@@ -133,6 +133,22 @@ def main() -> None:
         f"reference 2.14e-3 at these settings)"
     )
 
+    # tail-latency pass (reference FAQ.md:42 methodology, batched form):
+    # block per window so window times are real wall time, and record the
+    # per-window non-converged counts that drive the OSD tail
+    log("tail-latency pass ...")
+    tail = decode_sliding_window(
+        plan, det, factory, verbose=False, collect_window_stats=False,
+        sync_per_window=True,
+    )
+    wsec = np.asarray(tail["window_seconds"])
+    nonconv = np.asarray(tail["window_nonconverged"], dtype=np.float64)
+    log(
+        f"window wall time p50 {np.percentile(wsec, 50) * 1e3:.1f} ms / "
+        f"p99 {np.percentile(wsec, 99) * 1e3:.1f} ms; non-converged/window "
+        f"mean {nonconv.mean():.0f} ({nonconv.mean() / shots:.2%})"
+    )
+
     print(
         json.dumps(
             {
@@ -143,6 +159,13 @@ def main() -> None:
                 "ler_per_round": ler_round,
                 "num_failed": ev["num_failed"],
                 "shots": shots,
+                "window_p50_s": round(float(np.percentile(wsec, 50)), 4),
+                "window_p99_s": round(float(np.percentile(wsec, 99)), 4),
+                "window_worst_s": round(float(wsec.max()), 4),
+                "window_shot_us_p50": round(
+                    float(np.percentile(wsec, 50)) / shots * 1e6, 3
+                ),
+                "nonconverged_frac": round(float(nonconv.mean()) / shots, 5),
             }
         )
     )

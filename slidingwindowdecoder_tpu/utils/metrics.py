@@ -13,6 +13,8 @@ import os
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
+
 
 def wilson_interval(errors: int, shots: int, z: float = 1.96):
     """Wilson score interval for a binomial rate (good at small counts)."""
@@ -50,10 +52,19 @@ class RunMetrics:
     counters: dict = field(default_factory=dict)
     started: float = field(default_factory=time.perf_counter)
     spans: dict = field(default_factory=dict)
+    window_seconds: list = field(default_factory=list)
+    window_nonconverged: list = field(default_factory=list)
 
     def add(self, **kwargs):
         for k, v in kwargs.items():
             self.counters[k] = self.counters.get(k, 0) + v
+
+    def add_window_stats(self, seconds, nonconverged=None):
+        """Record per-window wall times (and optional non-converged counts)
+        for tail-latency percentiles (reference FAQ.md:42 methodology)."""
+        self.window_seconds.extend(float(s) for s in seconds)
+        if nonconverged is not None:
+            self.window_nonconverged.extend(int(c) for c in nonconverged)
 
     def time_span(self, name: str):
         metrics = self
@@ -82,6 +93,14 @@ class RunMetrics:
         if shots:
             out["ler"] = failed / shots
             out["ler_ci95"] = wilson_interval(failed, shots)
+        if self.window_seconds:
+            ws = np.asarray(self.window_seconds)
+            out["window_p50_s"] = float(np.percentile(ws, 50))
+            out["window_p99_s"] = float(np.percentile(ws, 99))
+            out["window_worst_s"] = float(ws.max())
+        if self.window_nonconverged and shots:
+            nc = np.asarray(self.window_nonconverged, dtype=np.float64)
+            out["nonconverged_per_window_mean"] = float(nc.mean())
         return out
 
     def write_json(self, path: str, extra: dict | None = None):

@@ -39,6 +39,7 @@ def decode_sliding_window(
     *,
     verbose: bool = True,
     collect_window_stats: bool = True,
+    sync_per_window: bool = False,
 ):
     """Run the full window pipeline over a batch of detector samples.
 
@@ -47,10 +48,15 @@ def decode_sliding_window(
       det_data: [S, num_detectors] detector bits (numpy or device array).
       decoder_factory: ``spec -> decoder`` with either a device-level
         ``decode_batch_device(synds)`` or a host ``decode_batch``.
+      sync_per_window: block on each window's result so ``window_seconds``
+        measures real per-window wall time (tail-latency methodology of
+        reference FAQ.md:42, batched form) and collect per-window
+        non-converged counts; off by default (it serializes the stream).
 
     Returns dict with total_e_hat [S, C] (device), per-window flagged
-    counts, and timing.
+    counts, per-window non-converged counts (sync mode), and timing.
     """
+    import jax
     import jax.numpy as jnp
 
     det = _as_device_u8(det_data)
@@ -61,6 +67,7 @@ def decode_sliding_window(
     new_det = det
     window_flagged: list[int] = []
     window_seconds: list[float] = []
+    window_nonconverged: list[int] = []
 
     for spec in plan.windows:
         t0 = time.perf_counter()
@@ -69,9 +76,14 @@ def decode_sliding_window(
         if hasattr(decoder, "decode_batch_device"):
             out = decoder.decode_batch_device(synd)
             e_hat = out["error"]
+            if sync_per_window:
+                jax.block_until_ready(e_hat)
+                window_nonconverged.append(int(jnp.sum(~out["converged"])))
         else:  # host-level decoder (e.g. experimental plug-ins)
             res = decoder.decode_batch(np.asarray(synd))
             e_hat = _as_device_u8(res.error)
+            if sync_per_window:
+                window_nonconverged.append(int((~res.converged).sum()))
 
         if collect_window_stats:
             mat_t = jnp.asarray(spec.mat.T, jnp.float32)
@@ -98,6 +110,8 @@ def decode_sliding_window(
             committed,
             chk_t_f32[spec.col_start : spec.col_start + ncommit],
         )
+        if sync_per_window:
+            jax.block_until_ready(new_det)
         dt = time.perf_counter() - t0
         window_seconds.append(dt)
         if verbose:
@@ -109,6 +123,7 @@ def decode_sliding_window(
         "corrected_det": new_det,
         "window_flagged": window_flagged,
         "window_seconds": window_seconds,
+        "window_nonconverged": window_nonconverged,
     }
 
 

@@ -103,29 +103,85 @@ def run_gdg(name, shots, seed, *, N, p, r, W, F, max_iter=200,
                     res["decode_seconds"], extra)
 
 
-def run_code_capacity(name, shots, seed, *, N, p, which, ref):
-    """which: osd0 | osdcs | gdg; ref: (fails, shots)."""
-    from slidingwindowdecoder_tpu.codes import bb_code_by_n
-    from slidingwindowdecoder_tpu.decoders import BPOSD, GDG
+def _make_code(N):
+    from slidingwindowdecoder_tpu.codes import (
+        bb_code_by_n,
+        create_cyclic_permuting_matrix,
+        create_QC_GHP_codes,
+    )
+
+    if N == 882:  # Misc.ipynb cell 10: [[882,24]] QC-GHP
+        return create_QC_GHP_codes(
+            63, create_cyclic_permuting_matrix(7, [27, 54, 0]), [0, 1, 6]
+        )
+    code, _, _ = bb_code_by_n(N)
+    return code
+
+
+def run_code_capacity(name, shots, seed, *, N, p, which, ref,
+                      gdg_kwargs=None, bpgd_kwargs=None):
+    """which: osd0 | osdcs | gdg | bpgd; ref: (fails, shots).
+
+    Decoder parameterization matches the reference exactly: OSD uses
+    ms_scaling_factor=osd_factor (0.625 for N>=288, simulation.py:44 and
+    Data noise.ipynb cell 9 comment); GDG uses simulation.py:67-83
+    (gdg_factor=0.625, tree depth 4, side depth 20, low_error_mode, pre-BP
+    24 at ms 0.625, new_n=N); BPGD uses Misc.ipynb cell 10.
+    """
+    from slidingwindowdecoder_tpu.decoders import BPGD, BPOSD, GDG
     from slidingwindowdecoder_tpu.harness.code_capacity import (
         data_qubit_noise_decoding,
     )
 
-    code, _, _ = bb_code_by_n(N)
+    code = _make_code(N)
     priors = np.full(code.N, p)
+    osd_factor = 0.5 if N <= 144 else 0.625
     if which == "osd0":
-        dec = BPOSD(code.hx, priors, max_iter=100, osd_method="osd_0")
+        dec = BPOSD(code.hx, priors, max_iter=100,
+                    ms_scaling_factor=osd_factor, osd_method="osd_0")
     elif which == "osdcs":
-        dec = BPOSD(code.hx, priors, max_iter=100, osd_method="osd_cs",
+        dec = BPOSD(code.hx, priors, max_iter=100,
+                    ms_scaling_factor=osd_factor, osd_method="osd_cs",
                     osd_order=10)
-    else:
-        dec = GDG(code.hx, priors, max_iter=100, low_error_mode=True,
-                  ensemble_bucket=256)
+    elif which == "gdg":
+        kw = dict(
+            max_iter=24, ms_scaling_factor=0.625, gdg_factor=0.625,
+            max_iter_per_step=6, max_step=40, max_tree_depth=4,
+            max_side_depth=20, max_tree_branch_step=30,
+            max_side_branch_step=20, new_n=code.N, low_error_mode=True,
+            ensemble_bucket=64,
+        )
+        kw.update(gdg_kwargs or {})
+        dec = GDG(code.hx, priors, **kw)
+    else:  # bpgd (Misc.ipynb cell 10: no BP preprocessing)
+        kw = dict(max_iter=0, max_iter_per_step=12, gd_factor=0.8,
+                  max_step=code.N, new_n=code.N, bucket=256)
+        kw.update(bpgd_kwargs or {})
+        dec = BPGD(code.hx, priors, **kw)
     t0 = time.perf_counter()
     res = data_qubit_noise_decoding(
         code, p, shots, {which: dec}, batch_size=16384, seed=seed,
         verbose=True,
     )[which]
+    return _verdict(name, res["num_err"], shots, ref[0], ref[1],
+                    time.perf_counter() - t0)
+
+
+def run_camel(name, shots, seed, *, ref):
+    """Misc.ipynb cell 8: CAMEL on [[362,36,20]] cycle-assembled code,
+    depolarizing p=0.02, BP4 ms=0.8, no OSD."""
+    from slidingwindowdecoder_tpu.codes import create_cycle_assemble_codes
+    from slidingwindowdecoder_tpu.harness.depolarizing import (
+        depolarizing_decoding,
+    )
+
+    code = create_cycle_assemble_codes(19, 3)
+    t0 = time.perf_counter()
+    res = depolarizing_decoding(
+        code, 0.02, shots, max_iter=50, ms_scaling_factor=0.8,
+        osd_method="off", osd_order=0, camel=True, batch_size=4096,
+        seed=seed, verbose=True,
+    )
     return _verdict(name, res["num_err"], shots, ref[0], ref[1],
                     time.perf_counter() - t0)
 
@@ -216,6 +272,25 @@ CONFIGS = {
         max_iter=8, last_win_osd=True,
         ref_fails=round((1 - (1 - 1.14e-3) ** 6) * 20000), ref_shots=20000,
         ref2=(round((1 - (1 - 7.10e-4) ** 6) * 20000), 20000)),
+    # BASELINE row 6: [[144]] p=0.003 W=3/4/5 (LER/r 2.93e-4/1.33e-4/9.92e-5)
+    "sw-p003-w3": lambda shots, seed: run_sw(
+        "sw-p003-w3", shots or 32768, seed, N=144, p=0.003, r=12, W=3, F=1,
+        ref_fails=round((1 - (1 - 2.93e-4) ** 12) * 100000), ref_shots=100000),
+    "sw-p003-w4": lambda shots, seed: run_sw(
+        "sw-p003-w4", shots or 32768, seed, N=144, p=0.003, r=12, W=4, F=1,
+        ref_fails=round((1 - (1 - 1.33e-4) ** 12) * 100000), ref_shots=100000),
+    "sw-p003-w5": lambda shots, seed: run_sw(
+        "sw-p003-w5", shots or 32768, seed, N=144, p=0.003, r=12, W=5, F=1,
+        ref_fails=round((1 - (1 - 9.92e-5) ** 12) * 100000), ref_shots=100000),
+    # BASELINE row 8b: IBM global repro at p=0.003 (77/1e5)
+    "global-144-p003": lambda shots, seed: run_global(
+        "global-144-p003", shots or 65536, seed, N=144, p=0.003, r=12,
+        ref_fails=77, ref_shots=100000),
+    # BASELINE row 10: [[144]] SW GDG W=3 p=0.005 (LER/r 6.92e-3, pre-BP 8)
+    "gdg-144-w3": lambda shots, seed: run_gdg(
+        "gdg-144-w3", shots or 8192, seed, N=144, p=0.005, r=12, W=3, F=1,
+        max_iter=8,
+        ref_fails=round((1 - (1 - 6.92e-3) ** 12) * 5000), ref_shots=5000),
     # BASELINE row 15: code capacity [[288]] p=0.02
     "cc-osd0": lambda shots, seed: run_code_capacity(
         "cc-osd0", shots or 2_000_000, seed, N=288, p=0.02, which="osd0",
@@ -226,6 +301,28 @@ CONFIGS = {
     "cc-gdg": lambda shots, seed: run_code_capacity(
         "cc-gdg", shots or 2_000_000, seed, N=288, p=0.02, which="gdg",
         ref=(1, 10_000_000)),
+    # BASELINE row 17 / Misc.ipynb cell 10: [[882,24]] p=0.04, 1e6 shots
+    "cc882-bpgd-all": lambda shots, seed: run_code_capacity(
+        "cc882-bpgd-all", shots or 250_000, seed, N=882, p=0.04, which="bpgd",
+        ref=(34, 1_000_000)),
+    "cc882-bpgd-partial": lambda shots, seed: run_code_capacity(
+        "cc882-bpgd-partial", shots or 250_000, seed, N=882, p=0.04,
+        which="bpgd", bpgd_kwargs=dict(max_step=100), ref=(551, 1_000_000)),
+    "cc882-osd0": lambda shots, seed: run_code_capacity(
+        "cc882-osd0", shots or 250_000, seed, N=882, p=0.04, which="osd0",
+        ref=(26, 1_000_000)),
+    "cc882-osdcs": lambda shots, seed: run_code_capacity(
+        "cc882-osdcs", shots or 250_000, seed, N=882, p=0.04, which="osdcs",
+        ref=(1, 1_000_000)),
+    "cc882-gdg": lambda shots, seed: run_code_capacity(
+        "cc882-gdg", shots or 250_000, seed, N=882, p=0.04, which="gdg",
+        gdg_kwargs=dict(max_step=80, max_tree_branch_step=60,
+                        max_iter_per_step=8, max_side_branch_step=60,
+                        ensemble_bucket=32),
+        ref=(20, 1_000_000)),
+    # Misc.ipynb cell 8: CAMEL [[362,36,20]] depolarizing p=0.02 (26/1e5)
+    "camel-362": lambda shots, seed: run_camel(
+        "camel-362", shots or 32768, seed, ref=(26, 100_000)),
     # BASELINE row 16: phenomenological [[288]] p=0.03, p_synd=1e-3
     "phenom-osd": lambda shots, seed: run_phenom(
         "phenom-osd", shots or 65536, seed, N=288, p=0.03, p_synd=1e-3,
@@ -249,6 +346,11 @@ def main():
     ap.add_argument("--shots", type=int, default=None)
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):  # axon sitecustomize ignores the env
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from slidingwindowdecoder_tpu.utils.compile_cache import enable
 
