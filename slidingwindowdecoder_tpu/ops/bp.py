@@ -77,22 +77,27 @@ def _cn_update_sm(mv, edge_valid, parity, *, alpha, clip):
 
     mv: [dc, m_pad, B] messages (any float dtype); edge_valid: bool
     [dc, m_pad, B] or [dc, m_pad, 1]; parity: [m_pad, B] int32 sign seed.
-    Returns mc (f32, zero at invalid slots).
+    Returns mc in mv's dtype (zero at invalid slots). All arithmetic stays
+    in the message dtype — in bfloat16 mode this halves the HBM traffic of
+    every [dc, m_pad, B] intermediate (the dominant arrays of the
+    iteration); bf16 shares f32's exponent range so the BIG sentinel and
+    the ±clip window are exactly representable.
     """
     dc = mv.shape[0]
-    mvc = jnp.clip(mv.astype(jnp.float32), -clip, clip)
-    absx = jnp.where(edge_valid, jnp.abs(mvc), BIG)
-    neg = edge_valid & (mvc <= 0.0)
+    mdt = mv.dtype
+    mvc = jnp.clip(mv, mdt.type(-clip), mdt.type(clip))
+    absx = jnp.where(edge_valid, jnp.abs(mvc), mdt.type(BIG))
+    neg = edge_valid & (mvc <= 0)
     min1 = jnp.min(absx, axis=0)  # [m_pad, B]
     arg1 = jnp.argmin(absx, axis=0)  # first occurrence == fwd-pass order
     slot = jax.lax.broadcasted_iota(jnp.int32, (dc, 1, 1), 0)
     is_arg = slot == arg1[None, :, :]
-    min2 = jnp.min(jnp.where(is_arg, BIG, absx), axis=0)
+    min2 = jnp.min(jnp.where(is_arg, mdt.type(BIG), absx), axis=0)
     total_sign = (parity + jnp.sum(neg, axis=0).astype(jnp.int32)) % 2
-    sign_excl = total_sign[None, :, :] ^ neg.astype(jnp.int32)
+    sign_flip = (total_sign[None, :, :] ^ neg.astype(jnp.int32)) == 1
     mag = jnp.where(is_arg, min2[None, :, :], min1[None, :, :])
-    mc = alpha * jnp.where(sign_excl == 1, -mag, mag)
-    return jnp.where(edge_valid, mc, 0.0)
+    mc = mdt.type(alpha) * jnp.where(sign_flip, -mag, mag)
+    return jnp.where(edge_valid, mc, mdt.type(0))
 
 
 def _check_syndrome_bm(garr, error_t):
@@ -161,7 +166,6 @@ def bp_run(
     cn_vn_sm = garr["cn_vn_sm"]  # [dc, m_pad]
     cn_valid_sm = garr["cn_valid_sm"]
     vn_from_cn_sm = garr["vn_from_cn_sm"]  # [n, dv]
-    vn_valid = garr["vn_valid"]
     dc, m_pad = cn_vn_sm.shape
 
     mdt = jnp.dtype(msg_dtype)
@@ -203,24 +207,36 @@ def bp_run(
         dec_par = jnp.zeros((m_pad, B), jnp.int32)
 
     def iteration(mv_sm):
-        """One BP iteration. Returns (mv_new, posterior, err_new, conv)."""
-        mc = _cn_update_sm(mv_sm, edge_valid, parity, alpha=alpha, clip=clip)
-        mc_g = mc.astype(mdt)
-        mc_flat = mc_g.reshape(dc * m_pad, B)  # bitcast (m_pad % 32 == 0)
-        mcv = jnp.take(mc_flat, vn_from_cn_sm, axis=0, mode="clip")  # [n,dv,B]
-        mcv = jnp.where(vn_valid[:, :, None], mcv.astype(jnp.float32), 0.0)
-        posterior = prior_t + jnp.sum(mcv, axis=1)  # [n, B]
-        post_edge = jnp.take(posterior, cn_vn_sm, axis=0, mode="clip")
-        mv_new = (post_edge - mc_g.astype(jnp.float32)).astype(mdt)
+        """One BP iteration. Returns (mv_new, posterior, err_new, conv).
 
-        hard = posterior <= 0.0
+        Traffic-shaped for HBM: the CN stage stays in the message dtype,
+        the VN gather reads from a zero-padded source (no mask
+        materialization; invalid VN slots index the trailing zero row),
+        the dv-reduction accumulates in f32 inside the reduce, and the
+        posterior is rounded to the message dtype *once* so the [dc,
+        m_pad, B] post_edge gather moves half the bytes in bf16 mode. Hard
+        decisions come from the same rounded posterior the edges see, so
+        the per-VN error and the per-edge syndrome check never disagree.
+        """
+        mc_g = _cn_update_sm(mv_sm, edge_valid, parity, alpha=alpha, clip=clip)
+        mc_flat = mc_g.reshape(dc * m_pad, B)  # bitcast (m_pad % 32 == 0)
+        mc_padded = jnp.concatenate(
+            [mc_flat, jnp.zeros((1, B), mdt)], axis=0
+        )
+        mcv = jnp.take(mc_padded, vn_from_cn_sm, axis=0)  # [n, dv, B] mdt
+        posterior = prior_t + jnp.sum(mcv, axis=1, dtype=jnp.float32)  # [n,B]
+        post_dec = posterior.astype(mdt)
+        post_edge = jnp.take(post_dec, cn_vn_sm, axis=0, mode="clip")
+        mv_new = post_edge - mc_g
+
+        hard = post_dec <= 0
         if masked:
             err_new = jnp.where(vn_undecided, hard.astype(jnp.int8), vn_state_t)
-            hard_edge = jnp.where(edge_valid, post_edge <= 0.0, False)
+            hard_edge = jnp.where(edge_valid, post_edge <= 0, False)
             synd_hat = (jnp.sum(hard_edge.astype(jnp.int32), axis=0) + dec_par) % 2
         else:
             err_new = hard.astype(jnp.int8)
-            hard_edge = edge_valid & (post_edge <= 0.0)
+            hard_edge = edge_valid & (post_edge <= 0)
             synd_hat = jnp.sum(hard_edge.astype(jnp.int32), axis=0) % 2
         conv = jnp.all(synd_hat == syndrome_t, axis=0)
         return mv_new, posterior, err_new, conv

@@ -70,3 +70,25 @@ def test_bposd_validation():
         BPOSD(code.hx, np.full(code.N, 0.01), osd_method="bogus")
     with pytest.raises(ValueError):
         BPOSD(code.hx, np.full(10, 0.01))  # wrong length
+
+
+def test_bposd_phase_compaction_invariance(bb72, rng):
+    """Per-shot results must be independent of the phase split and bucket
+    sizes: the two-phase bucket walk is purely a scheduling choice (covers
+    the long-iteration path in the fast suite, per round-1 ADVICE)."""
+    p = 0.06
+    shots = 48
+    errs = (rng.random((shots, bb72.N)) < p).astype(np.uint8)
+    synds = ((errs @ bb72.hx.T) % 2).astype(np.uint8)
+    kw = dict(max_iter=200, osd_method="osd_cs", osd_order=4)
+    mono = BPOSD(bb72.hx, np.full(bb72.N, p), phase_a_iters=None, **kw)
+    two = BPOSD(
+        bb72.hx, np.full(bb72.N, p), phase_a_iters=24, bp_bucket=8,
+        osd_bucket=8, **kw,
+    )
+    r_mono = mono.decode_batch(synds)
+    r_two = two.decode_batch(synds)
+    np.testing.assert_array_equal(r_mono.error, r_two.error)
+    np.testing.assert_array_equal(r_mono.converged, r_two.converged)
+    np.testing.assert_array_equal(r_mono.iterations, r_two.iterations)
+    np.testing.assert_allclose(r_mono.min_pm, r_two.min_pm, rtol=1e-5)
