@@ -192,19 +192,25 @@ def bp_run(
     vn_undecided = vn_state_t == -1
 
     # ---- loop-invariant edge masks ------------------------------------------
+    syndrome_odd = syndrome_t == 1
     if masked:
         vs_edge = jnp.take(vn_state_t, cn_vn_sm, axis=0, mode="clip")
         cn_active = (cn_state_t != -1)[None, :, :]
         edge_valid = (
             (vs_edge == -1) & cn_valid_sm[:, :, None] & cn_active
         )  # [dc, m_pad, B]
-        # decided VNs' fixed contribution to each check's decoded syndrome
-        dec_par = jnp.sum(
-            ((vs_edge == 1) & cn_valid_sm[:, :, None]).astype(jnp.int32), axis=0
+        # decided VNs' fixed (parity) contribution to each check's syndrome
+        dec_odd = (
+            jnp.sum(
+                ((vs_edge == 1) & cn_valid_sm[:, :, None]).astype(jnp.int32),
+                axis=0,
+            )
+            % 2
+            == 1
         )  # [m_pad, B]
     else:
         edge_valid = cn_valid_sm[:, :, None]  # [dc, m_pad, 1] static
-        dec_par = jnp.zeros((m_pad, B), jnp.int32)
+        dec_odd = None
 
     def iteration(mv_sm):
         """One BP iteration. Returns (mv_new, posterior, err_new, conv).
@@ -220,25 +226,27 @@ def bp_run(
         """
         mc_g = _cn_update_sm(mv_sm, edge_valid, parity, alpha=alpha, clip=clip)
         mc_flat = mc_g.reshape(dc * m_pad, B)  # bitcast (m_pad % 32 == 0)
-        mc_padded = jnp.concatenate(
-            [mc_flat, jnp.zeros((1, B), mdt)], axis=0
-        )
-        mcv = jnp.take(mc_padded, vn_from_cn_sm, axis=0)  # [n, dv, B] mdt
+        mcv = jnp.take(
+            mc_flat, vn_from_cn_sm, axis=0, mode="fill", fill_value=0
+        )  # [n, dv, B] mdt; invalid VN slots hit the fill, not a copy
         posterior = prior_t + jnp.sum(mcv, axis=1, dtype=jnp.float32)  # [n,B]
         post_dec = posterior.astype(mdt)
         post_edge = jnp.take(post_dec, cn_vn_sm, axis=0, mode="clip")
         mv_new = post_edge - mc_g
 
+        # decoded parity per check as a +/-1 product (exact in any float
+        # dtype) — one cheap reduce-multiply instead of an int32 sum
         hard = post_dec <= 0
+        hard_edge_sgn = jnp.where(
+            edge_valid & (post_edge <= 0), mdt.type(-1), mdt.type(1)
+        )
+        synd_odd = jnp.prod(hard_edge_sgn, axis=0) < 0  # [m_pad, B]
         if masked:
             err_new = jnp.where(vn_undecided, hard.astype(jnp.int8), vn_state_t)
-            hard_edge = jnp.where(edge_valid, post_edge <= 0, False)
-            synd_hat = (jnp.sum(hard_edge.astype(jnp.int32), axis=0) + dec_par) % 2
+            synd_odd = synd_odd ^ dec_odd
         else:
             err_new = hard.astype(jnp.int8)
-            hard_edge = edge_valid & (post_edge <= 0)
-            synd_hat = jnp.sum(hard_edge.astype(jnp.int32), axis=0) % 2
-        conv = jnp.all(synd_hat == syndrome_t, axis=0)
+        conv = jnp.all(synd_odd == syndrome_odd, axis=0)
         return mv_new, posterior, err_new, conv
 
     def body(with_history):

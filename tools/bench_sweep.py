@@ -65,25 +65,26 @@ def main() -> None:
 
     CONFIGS = {
         # name: (pipeline, decoder kwargs)
-        "hostloop_b128_o512_a24_bf16": (
-            "host",
-            dict(bp_bucket=128, osd_bucket=512, msg_dtype="bfloat16"),
-        ),
-        "hostloop_b256_o512_a24_bf16": (
-            "host",
-            dict(bp_bucket=256, osd_bucket=512, msg_dtype="bfloat16"),
-        ),
-        "jitstep_b128_o512_a24_bf16": (
+        "jitstep_b2048_o512_a24_bf16": (
             "jit",
-            dict(bp_bucket=128, osd_bucket=512, msg_dtype="bfloat16"),
+            dict(bp_bucket=2048, osd_bucket=512, msg_dtype="bfloat16"),
         ),
-        "jitstep_b256_o512_a24_bf16": (
+        "jitstep_b4096_o512_a24_bf16": (
             "jit",
-            dict(bp_bucket=256, osd_bucket=512, msg_dtype="bfloat16"),
+            dict(bp_bucket=4096, osd_bucket=512, msg_dtype="bfloat16"),
         ),
-        "jitstep_b512_o1024_a24_bf16": (
+        "jitstep_b8192_o512_a24_bf16": (
             "jit",
-            dict(bp_bucket=512, osd_bucket=1024, msg_dtype="bfloat16"),
+            dict(bp_bucket=8192, osd_bucket=512, msg_dtype="bfloat16"),
+        ),
+        "jitstep_b4096_o256_a24_bf16": (
+            "jit",
+            dict(bp_bucket=4096, osd_bucket=256, msg_dtype="bfloat16"),
+        ),
+        "jitstep_b4096_o512_a16_bf16": (
+            "jit",
+            dict(bp_bucket=4096, osd_bucket=512, phase_a_iters=16,
+                 msg_dtype="bfloat16"),
         ),
     }
     if args.configs:
