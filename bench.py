@@ -59,6 +59,7 @@ def main() -> None:
     from slidingwindowdecoder_tpu.windows.pipeline import (
         CachingDecoderFactory,
         decode_sliding_window,
+        decode_sliding_window_sharded,
         evaluate_logical_errors,
     )
 
@@ -94,7 +95,8 @@ def main() -> None:
             ms_scaling_factor=1.0,
             osd_method="osd_cs",
             osd_order=osd_order,
-            osd_bucket=1024,
+            bp_bucket=2048,
+            osd_bucket=512,
             msg_dtype="bfloat16",
         )
     )
@@ -103,9 +105,7 @@ def main() -> None:
     # (BP phases, OSD buckets, feedback mat-muls) gets compiled here
     log("warmup (compiling kernels at full batch size) ...")
     t0 = time.perf_counter()
-    decode_sliding_window(
-        plan, det, factory, verbose=False, collect_window_stats=False
-    )
+    decode_sliding_window_sharded(plan, det, factory)
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     log(f"timed run: {shots} shots ...")
@@ -118,9 +118,7 @@ def main() -> None:
     )
     t0 = time.perf_counter()
     with trace_ctx:
-        out = decode_sliding_window(
-            plan, det, factory, verbose=False, collect_window_stats=False
-        )
+        out = decode_sliding_window_sharded(plan, det, factory)
         jax.block_until_ready(out["total_e_hat"])
     dt = time.perf_counter() - t0
     ev = evaluate_logical_errors(plan, det, obs, out["total_e_hat"])
@@ -135,8 +133,14 @@ def main() -> None:
 
     # tail-latency pass (reference FAQ.md:42 methodology, batched form):
     # block per window so window times are real wall time, and record the
-    # per-window non-converged counts that drive the OSD tail
+    # per-window non-converged counts that drive the OSD tail. The first
+    # pass warms this path's own executables (different shapes than the
+    # fused window steps) so the timed percentiles are compile-free.
     log("tail-latency pass ...")
+    decode_sliding_window(
+        plan, det, factory, verbose=False, collect_window_stats=False,
+        sync_per_window=True,
+    )
     tail = decode_sliding_window(
         plan, det, factory, verbose=False, collect_window_stats=False,
         sync_per_window=True,

@@ -672,6 +672,7 @@ class GDG:
             for k, v in tables.items()
             if k in ("flip_now", "reinit", "budget", "A", "A_sum")
         }
+        self._core_jit = None
 
     def _shorten_state(self, synds, llr_sum):
         """Decide the most-reliable n - new_n columns to 0, then peel."""
@@ -696,86 +697,138 @@ class GDG:
             )
         return vn_state, cn_state, cn_degree, dead
 
+    def _run_ensemble(self, s, vn0, cn0, cd0, dead0):
+        if self.multi_thread:
+            return gdg_ensemble(
+                self.garr,
+                self._llr_dev,
+                s,
+                vn0,
+                cn0,
+                cd0,
+                dead0,
+                self._tables["flip_now"],
+                self._tables["reinit"],
+                self._tables["budget"],
+                self._tables["A"],
+                self._tables["A_sum"],
+                num_iter=self.num_iter_per_step,
+                D_max=self.D_max,
+                NB=self.NB,
+                alpha=self.gdg_factor,
+                clip=self.clip,
+                low_error_mode=self.low_error_mode,
+                msg_dtype=self.msg_dtype,
+            )
+        return gdg_serial(
+            self.garr,
+            self._llr_dev,
+            s,
+            vn0,
+            cn0,
+            cd0,
+            dead0,
+            num_iter=self.num_iter_per_step,
+            max_step=self.max_step,
+            max_tree_depth=self.max_tree_depth,
+            max_side_depth=self.max_side_depth,
+            max_side_branch_step=self.max_side_branch_step,
+            max_guess=self.max_guess,
+            alpha=self.gdg_factor,
+            clip=self.clip,
+            low_error_mode=self.low_error_mode,
+            msg_dtype=self.msg_dtype,
+        )
+
+    def core(self, synds):
+        """Pure device-side decode (jit/shard_map traceable, no host syncs):
+        pre-BP on the full batch, then a sorted bucket walk running the
+        branch ensemble only over the non-converged shots (same device
+        compaction scheme as BPOSD.core)."""
+        import jax
+
+        from .bposd import _divisor_bucket
+
+        B = synds.shape[0]
+        synds = synds.astype(jnp.uint8)
+        pre = decode_bp(
+            self.garr,
+            self._llr_dev,
+            synds,
+            num_iter=self.max_iter,
+            alpha=self.alpha,
+            clip=self.clip,
+            msg_dtype=self.msg_dtype,
+        )
+        converged = pre["converged"]
+        error = pre["error"].astype(jnp.uint8)
+        iters = pre["iterations"]
+        llr_sum = pre["llr_sum"]
+        min_pm = jnp.sum(
+            jnp.where(error == 1, self._llr_dev[None, :], 0.0), axis=-1
+        )
+
+        bucket = _divisor_bucket(B, self.ensemble_bucket)
+        order = jnp.argsort(converged.astype(jnp.int32), stable=True).astype(
+            jnp.int32
+        )
+        n_todo = jnp.sum((~converged).astype(jnp.int32))
+
+        def body(carry):
+            b, error, converged, min_pm, iters = carry
+            idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
+            take = lambda a: jnp.take(a, idx, axis=0)
+            s = take(synds)
+            done_c = take(converged)
+            vn0, cn0, cd0, dead0 = self._shorten_state(s, take(llr_sum))
+            out = self._run_ensemble(s, vn0, cn0, cd0, dead0)
+            # boundary buckets may straddle converged shots: keep theirs
+            err_new = jnp.where(
+                done_c[:, None], take(error), out["error"].astype(jnp.uint8)
+            )
+            conv_new = done_c | out["converged"]
+            pm_new = jnp.where(done_c, take(min_pm), out["min_pm"])
+            it_new = take(iters) + jnp.where(done_c, 0, out["iterations"])
+            return (
+                b + 1,
+                error.at[idx].set(err_new),
+                converged.at[idx].set(conv_new),
+                min_pm.at[idx].set(pm_new),
+                iters.at[idx].set(it_new),
+            )
+
+        _, error, converged, min_pm, iters = jax.lax.while_loop(
+            lambda c: c[0] * bucket < n_todo,
+            body,
+            (jnp.int32(0), error, converged, min_pm, iters),
+        )
+        return {
+            "error": error,
+            "converged": converged,
+            "iterations": iters,
+            "min_pm": min_pm,
+        }
+
+    def decode_batch_device(self, synds):
+        """Jitted ``core``: one device program per batch shape."""
+        if self._core_jit is None:
+            import jax
+
+            self._core_jit = jax.jit(self.core)
+        return self._core_jit(synds)
+
     def decode_batch(self, syndromes) -> DecodeResult:
         syndromes, _ = as_batch(syndromes, self.m)
         B = syndromes.shape[0]
         Bp = pad_pow2(B)
         synds = np.zeros((Bp, self.m), dtype=np.uint8)
         synds[:B] = syndromes
-        pre = decode_bp(
-            self.garr,
-            self._llr_dev,
-            jnp.asarray(synds),
-            num_iter=self.max_iter,
-            alpha=self.alpha,
-            clip=self.clip,
-            msg_dtype=self.msg_dtype,
-        )
-        converged = np.asarray(pre["converged"])[:B].copy()
-        error = np.asarray(pre["error"]).astype(np.uint8)[:B]
-        iters = np.asarray(pre["iterations"])[:B].copy()
-        min_pm = (error * self.llr[None, :]).sum(axis=1).astype(np.float32)
-
-        todo = np.nonzero(~converged)[0]
-        if len(todo):
-            llr_sum = np.asarray(pre["llr_sum"])[:B]
-            bucket = min(self.ensemble_bucket, pad_pow2(len(todo), floor=8))
-            for lo in range(0, len(todo), bucket):
-                chunk = todo[lo : lo + bucket]
-                s = np.zeros((bucket, self.m), dtype=np.uint8)
-                ls = np.zeros((bucket, self.n), dtype=np.float32)
-                s[: len(chunk)] = syndromes[chunk]
-                ls[: len(chunk)] = llr_sum[chunk]
-                vn0, cn0, cd0, dead0 = self._shorten_state(s, ls)
-                if self.multi_thread:
-                    out = gdg_ensemble(
-                        self.garr,
-                        self._llr_dev,
-                        jnp.asarray(s),
-                        vn0,
-                        cn0,
-                        cd0,
-                        dead0,
-                        self._tables["flip_now"],
-                        self._tables["reinit"],
-                        self._tables["budget"],
-                        self._tables["A"],
-                        self._tables["A_sum"],
-                        num_iter=self.num_iter_per_step,
-                        D_max=self.D_max,
-                        NB=self.NB,
-                        alpha=self.gdg_factor,
-                        clip=self.clip,
-                        low_error_mode=self.low_error_mode,
-                        msg_dtype=self.msg_dtype,
-                    )
-                else:
-                    out = gdg_serial(
-                        self.garr,
-                        self._llr_dev,
-                        jnp.asarray(s),
-                        vn0,
-                        cn0,
-                        cd0,
-                        dead0,
-                        num_iter=self.num_iter_per_step,
-                        max_step=self.max_step,
-                        max_tree_depth=self.max_tree_depth,
-                        max_side_depth=self.max_side_depth,
-                        max_side_branch_step=self.max_side_branch_step,
-                        max_guess=self.max_guess,
-                        alpha=self.gdg_factor,
-                        clip=self.clip,
-                        low_error_mode=self.low_error_mode,
-                        msg_dtype=self.msg_dtype,
-                    )
-                error[chunk] = np.asarray(out["error"])[: len(chunk)]
-                converged[chunk] = np.asarray(out["converged"])[: len(chunk)]
-                min_pm[chunk] = np.asarray(out["min_pm"])[: len(chunk)]
-                iters[chunk] += np.asarray(out["iterations"])[: len(chunk)]
-
+        out = self.decode_batch_device(jnp.asarray(synds))
         return DecodeResult(
-            error=error, converged=converged, iterations=iters, min_pm=min_pm
+            error=np.asarray(out["error"])[:B],
+            converged=np.asarray(out["converged"])[:B],
+            iterations=np.asarray(out["iterations"])[:B],
+            min_pm=np.asarray(out["min_pm"])[:B],
         )
 
     def decode(self, syndrome) -> np.ndarray:

@@ -95,23 +95,32 @@ def _unpack_bits(words, n):
 
 
 @partial(jax.jit, static_argnames=("m", "n", "rank"))
-def ordered_gauss_jordan(H_words, syndrome, rank_pos, *, m: int, n: int, rank: int):
+def ordered_gauss_jordan(H_words, syndrome, order, *, m: int, n: int, rank: int):
     """Batched reliability-ordered Gauss-Jordan elimination (batch-minor).
 
-    Internally the batch lives on the last (lane) axis and all per-shot
-    dynamic indexing (pivot column word, pivot row) is realized as one-hot
-    reductions over *major* axes — TPU-friendly, no lane-axis gathers.
+    Internally the batch lives on the last (lane) axis. Each of the
+    ``rank`` steps picks, per lane, the live column (a 1 in some unused
+    row) with the best reliability rank — exactly
+    ``mod2sparse_decomp_osd``'s greedy first-independent-column rule
+    (mod2sparse_extra.cpp:113-376). All per-shot dynamic indexing (pivot
+    column word, pivot row) is realized as one-hot reductions over major
+    axes — measured faster on TPU than the equivalent per-lane gathers.
+    (Two rejected alternatives, both measured slower on hardware: a
+    skip-and-retry loop without the live mask — windowed DEM matrices
+    have heavily dependent reliability prefixes, so retries blow the trip
+    count far past ``rank`` — and take_along_axis extraction of the pivot
+    column/row, which hits the backend's slow-gather path.)
 
     Args:
       H_words: [m, W] packed PCM rows (static, shared across the batch).
       syndrome: [B, m] 0/1.
-      rank_pos: [B, n] int32 — per-shot reliability rank of each column
-        (position of the column in the sorted order; lower = tried first).
+      order: [B, n] int32 — per-shot column ids in reliability order
+        (most-likely-in-error first; tried in this order).
       rank: GF(2) rank of H (static; number of pivot steps).
 
     Returns dict (batch-major views for consumers):
       osd0 [B, n] uint8; piv_col / piv_row [B, rank] int32;
-      reduced_rows [B, m, W] packed final rows; sol_bits [B, rank];
+      reduced_bm [m, W, B] packed final rows; sol_bits [B, rank];
       inconsistent [B] bool (syndrome outside the pivot span).
     """
     B = syndrome.shape[0]
@@ -123,7 +132,13 @@ def ordered_gauss_jordan(H_words, syndrome, rank_pos, *, m: int, n: int, rank: i
     unused = jnp.ones((m, B), dtype=bool)
     piv_col = jnp.full((rank, B), -1, jnp.int32)
     piv_row = jnp.full((rank, B), -1, jnp.int32)
-    rank_pos_t = rank_pos.astype(jnp.int32).T  # [n, B]
+    order_t = order.astype(jnp.int32).T  # [n, B]
+    # rank_pos[j, b] = position of column j in lane b's order
+    rank_pos_t = (
+        jnp.zeros((n, B), jnp.int32)
+        .at[order_t, jnp.arange(B)[None, :]]
+        .set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, B)))
+    )
 
     big = jnp.int32(n + 1)
     iota_m = jax.lax.broadcasted_iota(jnp.int32, (m, B), 0)
@@ -486,13 +501,7 @@ def osd_decode(
     actual elimination on tunneled TPU setups).
     """
     order = jnp.argsort(reliability, axis=1, stable=True).astype(jnp.int32)
-    B, n_ = order.shape
-    rank_pos = (
-        jnp.zeros((B, n_), jnp.int32)
-        .at[jnp.arange(B)[:, None], order]
-        .set(jnp.broadcast_to(jnp.arange(n_, dtype=jnp.int32), (B, n_)))
-    )
-    gj = ordered_gauss_jordan(H_words, syndrome, rank_pos, m=m, n=n, rank=rank)
+    gj = ordered_gauss_jordan(H_words, syndrome, order, m=m, n=n, rank=rank)
 
     if meta is None:
         meta = analyze_patterns(np.asarray(patterns), k)

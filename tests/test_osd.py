@@ -72,10 +72,8 @@ def test_gauss_jordan_solves(rng):
         synd = (x_true @ H.T) % 2
         rel = rng.normal(0, 1, (B, n)).astype(np.float32)
         order = np.argsort(rel, axis=1, kind="stable").astype(np.int32)
-        rank_pos = np.empty_like(order)
-        np.put_along_axis(rank_pos, order, np.arange(n, dtype=np.int32)[None, :], axis=1)
         out = ordered_gauss_jordan(
-            words, jnp.asarray(synd), jnp.asarray(rank_pos), m=m, n=n, rank=m
+            words, jnp.asarray(synd), jnp.asarray(order), m=m, n=n, rank=m
         )
         osd0 = np.asarray(out["osd0"])
         assert not np.asarray(out["inconsistent"]).any()
@@ -93,9 +91,9 @@ def test_inconsistent_flag(rng):
     H = np.array([[1, 1, 0], [1, 1, 0], [0, 0, 1]], dtype=np.uint8)
     words = jnp.asarray(pack_rows_host(H))
     synd = np.array([[1, 0, 0]], dtype=np.uint8)
-    rank_pos = np.arange(3, dtype=np.int32)[None, :]
+    order = np.arange(3, dtype=np.int32)[None, :]
     out = ordered_gauss_jordan(
-        words, jnp.asarray(synd), jnp.asarray(rank_pos), m=3, n=3, rank=2
+        words, jnp.asarray(synd), jnp.asarray(order), m=3, n=3, rank=2
     )
     assert bool(out["inconsistent"][0])
 

@@ -277,3 +277,75 @@ def test_cli_smoke():
     assert out.returncode == 0, out.stderr[-2000:]
     payload = json.loads(out.stdout.strip().splitlines()[-1])
     assert payload["bposd"]["shots"] == 64
+
+
+def test_elastic_recovery(tmp_path):
+    """Failure detection + recovery plan (SURVEY §5): a host whose
+    checkpoint heartbeat went stale is declared lost; the plan names the
+    exact batch range a replacement must replay, and the replayed counts
+    equal what the lost host would have produced (randomness is derived,
+    not carried)."""
+    from slidingwindowdecoder_tpu.parallel.checkpoint import batch_rng
+    from slidingwindowdecoder_tpu.parallel.elastic import (
+        lost_hosts,
+        merge_counts,
+        plan_recovery,
+    )
+
+    total_shots, batch, hosts, seed = 120, 10, 3, 17
+
+    def run_batch(pid):
+        def f(idx, shots, rng):
+            return {"failed": int(rng.integers(0, 3))}
+        return f
+
+    # host 0 completes; host 1 crashes mid-range; host 2 never starts
+    full = {}
+    for pid, crash_at in ((0, None), (1, 3)):
+        ckpt = MonteCarloCheckpoint(str(tmp_path), process_id=pid)
+        from slidingwindowdecoder_tpu.parallel.distributed import host_shot_range
+        _, count = host_shot_range(total_shots, pid, hosts)
+        try:
+            n = {"v": 0}
+            def f(idx, shots, rng, n=n, crash_at=crash_at):
+                n["v"] += 1
+                if crash_at is not None and n["v"] > crash_at:
+                    raise RuntimeError("host died")
+                return {"failed": int(rng.integers(0, 3))}
+            full[pid] = run_checkpointed(
+                count, batch, f, ckpt, checkpoint_every=1, root_seed=seed
+            )
+        except RuntimeError:
+            pass
+
+    plan = plan_recovery(str(tmp_path), total_shots, batch, hosts)
+    assert plan[0].complete
+    assert not plan[1].complete and plan[1].batches_done == 3
+    assert not plan[2].complete and plan[2].stale_seconds is None
+
+    # heartbeat: host 1's file exists but is "old"
+    assert lost_hosts(plan, stale_after=1e9) == [2]
+    import os, time as _t
+    old = _t.time() - 3600
+    os.utime(MonteCarloCheckpoint(str(tmp_path), 1)._file, (old, old))
+    plan = plan_recovery(str(tmp_path), total_shots, batch, hosts)
+    assert sorted(lost_hosts(plan, stale_after=600)) == [1, 2]
+
+    # a replacement worker resumes host 1 from the plan and reproduces the
+    # exact counts an uninterrupted host 1 would have accumulated
+    ckpt1 = MonteCarloCheckpoint(str(tmp_path), process_id=1)
+    from slidingwindowdecoder_tpu.parallel.distributed import host_shot_range
+    _, count1 = host_shot_range(total_shots, 1, hosts)
+    resumed = run_checkpointed(
+        count1, batch, lambda i, s, rng: {"failed": int(rng.integers(0, 3))},
+        ckpt1, checkpoint_every=1, root_seed=seed,
+    )
+    straight = sum(
+        int(batch_rng(seed, 1, i).integers(0, 3))
+        for i in range(-(-count1 // batch))
+    )
+    assert resumed["counts"]["failed"] == straight
+
+    plan = plan_recovery(str(tmp_path), total_shots, batch, hosts)
+    assert plan[1].complete
+    assert merge_counts(plan)["failed"] >= straight

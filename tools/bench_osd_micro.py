@@ -46,11 +46,6 @@ def main():
     pats = osd_candidate_patterns(k, 10, "osd_cs")
 
     order = jnp.argsort(rel, axis=1, stable=True).astype(jnp.int32)
-    rank_pos = (
-        jnp.zeros((B, n), jnp.int32)
-        .at[jnp.arange(B)[:, None], order]
-        .set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (B, n)))
-    )
 
     def timeit(label, fn, reps=5):
         fn()  # compile
@@ -63,7 +58,7 @@ def main():
         print(f"{label}: {dt*1e3:.1f} ms", file=sys.stderr)
         return dt
 
-    gj_fn = lambda: ordered_gauss_jordan(Hw, synd, rank_pos, m=m, n=n, rank=rank)
+    gj_fn = lambda: ordered_gauss_jordan(Hw, synd, order, m=m, n=n, rank=rank)
     timeit("ordered_gauss_jordan", gj_fn)
     full_fn = lambda: osd_decode(Hw, synd, rel, llr, pats, m=m, n=n, rank=rank, k=k)[
         "solution"
