@@ -123,6 +123,20 @@ class BPOSD:
 
         self.graph = compile_graph(pcm)
         self.garr = graph_device_arrays(self.graph)
+        # bf16 mode replaces the VN-side row gather (slow path on this
+        # backend) with an MXU matmul against the static incidence when
+        # the constant is small enough to stay resident
+        self._posterior_matmul = (
+            self.msg_dtype == "bfloat16"
+            and self.n * self.graph.dc * self.graph.m_pad <= 64_000_000
+        )
+        if self._posterior_matmul:
+            from ..graphs.tanner import vn_incidence_host
+
+            self.garr = dict(self.garr)
+            self.garr["vn_inc"] = jnp.asarray(
+                vn_incidence_host(self.graph), jnp.bfloat16
+            )
         self.llr = np.log((1 - channel_probs) / channel_probs).astype(np.float32)
         self._llr_dev = jnp.asarray(self.llr)
 
@@ -165,6 +179,7 @@ class BPOSD:
             masked=False,
             freeze_messages=False,
             history_mode=history_mode,
+            posterior_matmul=self._posterior_matmul,
         )
 
     def _reliability(self, history, total_iters: int):

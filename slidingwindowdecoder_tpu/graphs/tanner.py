@@ -122,6 +122,21 @@ def compile_graph(H: np.ndarray) -> TannerGraph:
     )
 
 
+def vn_incidence_host(graph: TannerGraph) -> np.ndarray:
+    """Dense 0/1 VN-incidence over slot-major flat edges: A[v, s*m_pad+i]
+    = 1 iff check-slot (s, i) is a valid edge of VN v.
+
+    ``A @ mc_flat`` is then the per-VN sum of incoming CN messages — an
+    MXU matmul that replaces the VN-side row gather (measured 1.35x
+    faster at the flagship window size; the gather path on this backend
+    runs ~6x below HBM peak). Only worthwhile when n*dc*m_pad is small
+    enough for the constant to stay resident (window-sized graphs)."""
+    A = np.zeros((graph.n, graph.dc * graph.m_pad), dtype=np.float32)
+    s, i = np.nonzero(graph.cn_valid_sm)
+    A[graph.cn_vn_sm[s, i], s * graph.m_pad + i] = 1.0
+    return A
+
+
 def graph_device_arrays(graph: TannerGraph):
     """The jnp pytree of static tables consumed by the BP kernels."""
     import jax.numpy as jnp

@@ -123,6 +123,7 @@ def check_syndrome(garr, error):
         "masked",
         "freeze_messages",
         "history_mode",
+        "posterior_matmul",
     ),
 )
 def bp_run(
@@ -144,6 +145,7 @@ def bp_run(
     masked: bool = True,
     freeze_messages: bool = True,
     history_mode: str = "full",
+    posterior_matmul: bool = False,
 ):
     """Run up to ``num_iter`` BP iterations with per-shot convergence freeze.
 
@@ -226,10 +228,18 @@ def bp_run(
         """
         mc_g = _cn_update_sm(mv_sm, edge_valid, parity, alpha=alpha, clip=clip)
         mc_flat = mc_g.reshape(dc * m_pad, B)  # bitcast (m_pad % 32 == 0)
-        mcv = jnp.take(
-            mc_flat, vn_from_cn_sm, axis=0, mode="fill", fill_value=0
-        )  # [n, dv, B] mdt; invalid VN slots hit the fill, not a copy
-        posterior = prior_t + jnp.sum(mcv, axis=1, dtype=jnp.float32)  # [n,B]
+        if posterior_matmul:
+            # per-VN message sum as one MXU matmul against the static 0/1
+            # incidence (decided/invalid edges carry mc == 0, so masking
+            # is already baked into mc_flat)
+            posterior = prior_t + jnp.dot(
+                garr["vn_inc"], mc_flat, preferred_element_type=jnp.float32
+            )
+        else:
+            mcv = jnp.take(
+                mc_flat, vn_from_cn_sm, axis=0, mode="fill", fill_value=0
+            )  # [n, dv, B] mdt; invalid VN slots hit the fill, not a copy
+            posterior = prior_t + jnp.sum(mcv, axis=1, dtype=jnp.float32)
         post_dec = posterior.astype(mdt)
         post_edge = jnp.take(post_dec, cn_vn_sm, axis=0, mode="clip")
         mv_new = post_edge - mc_g
