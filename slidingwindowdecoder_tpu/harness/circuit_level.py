@@ -166,12 +166,16 @@ def global_decoder(
     shorten: bool = False,
     seed: int | None = None,
     verbose: bool = True,
+    batch_size: int = 8192,
 ):
     """Whole-block (non-windowed) decoding of the full DEM check matrix.
 
     The IBM.ipynb Fig.3 reproduction path (cells 3-5): BP+OSD-CS-10 on the
     full 936x8784 matrix for [[144]]x12; ``shorten=True`` uses the
-    osd_window decoder instead (cell 5).
+    osd_window decoder instead (cell 5). Shots are decoded in
+    ``batch_size`` chunks — the global graph's per-shot state (message and
+    history arrays over 8784 columns) is ~9x a window's, so an unchunked
+    100k-shot batch exhausts a single chip's HBM.
     """
     import jax.numpy as jnp
 
@@ -198,26 +202,35 @@ def global_decoder(
             osd_order=osd_order,
         )
     t0 = time.perf_counter()
-    out = dec.decode_batch_device(jnp.asarray(det))
-    e_hat = out["error"]
     chk_t = jnp.asarray(dem.chk.T, jnp.float32)
     obs_t = jnp.asarray(dem.obs.T, jnp.float32)
-    resid = (
-        jnp.mod(jnp.dot(e_hat.astype(jnp.float32), chk_t), 2.0).astype(jnp.uint8)
-        ^ jnp.asarray(det)
-    ).any(axis=1)
-    logical = (
-        jnp.mod(jnp.dot(e_hat.astype(jnp.float32), obs_t), 2.0).astype(jnp.uint8)
-        ^ jnp.asarray(obs)
-    ).any(axis=1)
-    num_failed = int(jnp.sum(resid | logical))
+    num_failed = 0
+    num_flagged = 0
+    for lo in range(0, num_shots, batch_size):
+        det_c = jnp.asarray(det[lo : lo + batch_size])
+        out = dec.decode_batch_device(det_c)
+        e_hat = out["error"]
+        resid = (
+            jnp.mod(jnp.dot(e_hat.astype(jnp.float32), chk_t), 2.0).astype(
+                jnp.uint8
+            )
+            ^ det_c
+        ).any(axis=1)
+        logical = (
+            jnp.mod(jnp.dot(e_hat.astype(jnp.float32), obs_t), 2.0).astype(
+                jnp.uint8
+            )
+            ^ jnp.asarray(obs[lo : lo + batch_size])
+        ).any(axis=1)
+        num_failed += int(jnp.sum(resid | logical))
+        num_flagged += int(jnp.sum(resid))
     seconds = time.perf_counter() - t0
     p_l = num_failed / num_shots
     result = {
         "N": N,
         "p": p,
         "num_shots": num_shots,
-        "num_flagged": int(jnp.sum(resid)),
+        "num_flagged": num_flagged,
         "num_failed": num_failed,
         "ler": p_l,
         "ler_per_round": 1 - (1 - p_l) ** (1 / num_repeat),

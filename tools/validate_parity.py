@@ -236,39 +236,39 @@ def run_bp4(name, shots, seed, *, p, osd_order, ref):
 CONFIGS = {
     # BASELINE row 3: shortened osd_window, LER/r 1.54e-3 (183/1e4)
     "sw-shortened": lambda shots, seed: run_sw(
-        "sw-shortened", shots or 8192, seed, N=144, p=0.004, r=12, W=3, F=1,
+        "sw-shortened", shots or 16384, seed, N=144, p=0.004, r=12, W=3, F=1,
         shorten=True, ref_fails=183, ref_shots=10000),
     # BASELINE row 5: W=4 / W=5 at p=0.004 (LER/r 1.10e-3 / 9.0e-4)
     "sw-w4": lambda shots, seed: run_sw(
-        "sw-w4", shots or 8192, seed, N=144, p=0.004, r=12, W=4, F=1,
+        "sw-w4", shots or 16384, seed, N=144, p=0.004, r=12, W=4, F=1,
         ref_fails=round((1 - (1 - 1.10e-3) ** 12) * 10000), ref_shots=10000),
     "sw-w5": lambda shots, seed: run_sw(
-        "sw-w5", shots or 8192, seed, N=144, p=0.004, r=12, W=5, F=1,
+        "sw-w5", shots or 16384, seed, N=144, p=0.004, r=12, W=5, F=1,
         ref_fails=round((1 - (1 - 9.0e-4) ** 12) * 10000), ref_shots=10000),
     # BASELINE row 7: [[288]] W=4 r=6 p=0.005 (LER/r 1.17e-3)
     "sw-288-w4": lambda shots, seed: run_sw(
-        "sw-288-w4", shots or 4096, seed, N=288, p=0.005, r=6, W=4, F=1,
+        "sw-288-w4", shots or 16384, seed, N=288, p=0.005, r=6, W=4, F=1,
         ref_fails=70, ref_shots=10000),
     # BASELINE rows 8-9: global decode [[144]] p=0.004
     "global-144": lambda shots, seed: run_global(
-        "global-144", shots or 4096, seed, N=144, p=0.004, r=12,
+        "global-144", shots or 16384, seed, N=144, p=0.004, r=12,
         ref_fails=76, ref_shots=10000),
     "global-144-shortened": lambda shots, seed: run_global(
-        "global-144-shortened", shots or 4096, seed, N=144, p=0.004, r=12,
+        "global-144-shortened", shots or 16384, seed, N=144, p=0.004, r=12,
         shorten=True, ref_fails=90, ref_shots=10000),
     # BASELINE row 12: [[288]] (4,1) GDG p=0.005 (LER/r 2.0e-3, r=18)
     "gdg-288-41": lambda shots, seed: run_gdg(
-        "gdg-288-41", shots or 2048, seed, N=288, p=0.005, r=18, W=4, F=1,
+        "gdg-288-41", shots or 8192, seed, N=288, p=0.005, r=18, W=4, F=1,
         max_iter=8,
         ref_fails=round((1 - (1 - 2.0e-3) ** 18) * 5000), ref_shots=5000),
     # BASELINE row 13: [[144]] (5,2) GDG p=0.005 (LER/r 3.18e-3, r=12)
     "gdg-144-52": lambda shots, seed: run_gdg(
-        "gdg-144-52", shots or 2048, seed, N=144, p=0.005, r=12, W=5, F=2,
+        "gdg-144-52", shots or 8192, seed, N=144, p=0.005, r=12, W=5, F=2,
         max_iter=8,
         ref_fails=round((1 - (1 - 3.18e-3) ** 12) * 5000), ref_shots=5000),
     # BASELINE row 14: [[288]] W=4 r=6 p=0.005 GDG vs +last-window OSD
     "gdg-last-osd": lambda shots, seed: run_gdg(
-        "gdg-last-osd", shots or 4096, seed, N=288, p=0.005, r=6, W=4, F=1,
+        "gdg-last-osd", shots or 8192, seed, N=288, p=0.005, r=6, W=4, F=1,
         max_iter=8, last_win_osd=True,
         ref_fails=round((1 - (1 - 1.14e-3) ** 6) * 20000), ref_shots=20000,
         ref2=(round((1 - (1 - 7.10e-4) ** 6) * 20000), 20000)),
