@@ -7,7 +7,8 @@ two-proportion 3-sigma verdict. Later lines for the same config override
 earlier ones (re-runs supersede).
 
 Usage: python tools/parity_report.py [--jsonl docs/parity_results.jsonl]
-Prints markdown to stdout; paste/pipe into docs/PARITY.md.
+Prints markdown to stdout; with --write, replaces the block between the
+BEGIN/END GENERATED markers in docs/PARITY.md in place.
 """
 
 from __future__ import annotations
@@ -119,13 +120,13 @@ def fmt_rate(fails, shots):
     return "—"
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--jsonl", default="docs/parity_results.jsonl")
-    args = ap.parse_args()
+BEGIN_MARK = "<!-- BEGIN GENERATED PARITY TABLE (tools/parity_report.py) -->"
+END_MARK = "<!-- END GENERATED PARITY TABLE -->"
 
+
+def render(jsonl_path: str) -> str:
     rows: dict[str, dict] = {}
-    with open(args.jsonl) as fh:
+    with open(jsonl_path) as fh:
         for line in fh:
             line = line.strip()
             if not line.startswith("{"):
@@ -137,12 +138,12 @@ def main():
             if "config" in d and "fails" in d:
                 rows[d["config"]] = d
 
-    print("| workload | reference LER | this framework | shots/s | verdict |")
-    print("|---|---|---|---|---|")
+    out = ["| workload | reference LER | this framework | shots/s | verdict |"]
+    out.append("|---|---|---|---|---|")
     for cfg, (desc, src) in DESCRIPTIONS.items():
         d = rows.get(cfg)
         if d is None:
-            print(f"| {desc} ({src}) | — | — | — | not yet run |")
+            out.append(f"| {desc} ({src}) | — | — | — | not yet run |")
             continue
         verdict = "✔ within 3σ" if d.get("z3_compatible") else "✘ OUTSIDE 3σ"
         ref = fmt_rate(d.get("ref_fails"), d.get("ref_shots"))
@@ -151,14 +152,44 @@ def main():
         if "last_win_osd_fails" in d:
             ok = "✔" if d.get("last_win_osd_z3_compatible") else "✘"
             extra = f" (+last-win-OSD {d['last_win_osd_fails']}/{d['shots']} {ok})"
-        print(
+        out.append(
             f"| {desc} ({src}) | {ref} | {ours}{extra} | "
             f"{d.get('shots_per_sec', '—')} | {verdict} |"
         )
 
     done = sum(1 for c in DESCRIPTIONS if c in rows)
     ok = sum(1 for c in DESCRIPTIONS if rows.get(c, {}).get("z3_compatible"))
-    print(f"\n{done}/{len(DESCRIPTIONS)} configs measured, {ok} within 3σ.")
+    out.append("")
+    out.append(f"{done}/{len(DESCRIPTIONS)} configs measured, {ok} within 3σ.")
+    return "\n".join(out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jsonl", default="docs/parity_results.jsonl")
+    ap.add_argument(
+        "--write",
+        metavar="MD",
+        nargs="?",
+        const="docs/PARITY.md",
+        help="replace the generated block in MD (default docs/PARITY.md)",
+    )
+    args = ap.parse_args()
+
+    table = render(args.jsonl)
+    if not args.write:
+        print(table)
+        return
+    with open(args.write) as fh:
+        doc = fh.read()
+    if BEGIN_MARK not in doc or END_MARK not in doc:
+        raise SystemExit(f"{args.write}: BEGIN/END GENERATED markers not found")
+    head, rest = doc.split(BEGIN_MARK, 1)
+    _, tail = rest.split(END_MARK, 1)
+    doc = head + BEGIN_MARK + "\n" + table + "\n" + END_MARK + tail
+    with open(args.write, "w") as fh:
+        fh.write(doc)
+    print(f"updated {args.write}")
 
 
 if __name__ == "__main__":
