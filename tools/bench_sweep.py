@@ -64,26 +64,61 @@ def main() -> None:
         )
 
     CONFIGS = {
-        # name: (pipeline, decoder kwargs)
-        "jitstep_b2048_o512_a24_bf16": (
+        # name: (pipeline, decoder kwargs). All bf16 (round-1 winner).
+        # Axis 1: phase-A length (full-batch iterations before compaction);
+        # axis 2: phase-B bucket size (early-exit granularity vs per-call
+        # overhead); axis 3: OSD bucket.
+        "a24_b2048_o512": (
             "jit",
             dict(bp_bucket=2048, osd_bucket=512, msg_dtype="bfloat16"),
         ),
-        "jitstep_b4096_o512_a24_bf16": (
+        "a16_b2048_o512": (
             "jit",
-            dict(bp_bucket=4096, osd_bucket=512, msg_dtype="bfloat16"),
+            dict(bp_bucket=2048, osd_bucket=512, phase_a_iters=16,
+                 msg_dtype="bfloat16"),
         ),
-        "jitstep_b8192_o512_a24_bf16": (
+        "a12_b2048_o512": (
             "jit",
-            dict(bp_bucket=8192, osd_bucket=512, msg_dtype="bfloat16"),
+            dict(bp_bucket=2048, osd_bucket=512, phase_a_iters=12,
+                 msg_dtype="bfloat16"),
         ),
-        "jitstep_b4096_o256_a24_bf16": (
+        "a12_b1024_o512": (
             "jit",
-            dict(bp_bucket=4096, osd_bucket=256, msg_dtype="bfloat16"),
+            dict(bp_bucket=1024, osd_bucket=512, phase_a_iters=12,
+                 msg_dtype="bfloat16"),
         ),
-        "jitstep_b4096_o512_a16_bf16": (
+        "a16_b1024_o512": (
             "jit",
-            dict(bp_bucket=4096, osd_bucket=512, phase_a_iters=16,
+            dict(bp_bucket=1024, osd_bucket=512, phase_a_iters=16,
+                 msg_dtype="bfloat16"),
+        ),
+        "a24_b1024_o512": (
+            "jit",
+            dict(bp_bucket=1024, osd_bucket=512, msg_dtype="bfloat16"),
+        ),
+        "a16_b2048_o256": (
+            "jit",
+            dict(bp_bucket=2048, osd_bucket=256, phase_a_iters=16,
+                 msg_dtype="bfloat16"),
+        ),
+        # small buckets: only the final (never-converging, OSD-bound) bucket
+        # pays the full phase-B budget; easier buckets exit early
+        "a24_b512_o512": (
+            "jit",
+            dict(bp_bucket=512, osd_bucket=512, msg_dtype="bfloat16"),
+        ),
+        "a24_b256_o512": (
+            "jit",
+            dict(bp_bucket=256, osd_bucket=512, msg_dtype="bfloat16"),
+        ),
+        "a16_b512_o512": (
+            "jit",
+            dict(bp_bucket=512, osd_bucket=512, phase_a_iters=16,
+                 msg_dtype="bfloat16"),
+        ),
+        "a16_b256_o256": (
+            "jit",
+            dict(bp_bucket=256, osd_bucket=256, phase_a_iters=16,
                  msg_dtype="bfloat16"),
         ),
     }
