@@ -96,7 +96,8 @@ def main() -> None:
             osd_method="osd_cs",
             osd_order=osd_order,
             bp_bucket=2048,
-            osd_bucket=512,
+            osd_bucket=256,
+            phase_a_iters=None if args.smoke else 16,
             msg_dtype="bfloat16",
         )
     )

@@ -85,6 +85,7 @@ class BPOSD:
         osd_bucket: int = 512,
         phase_a_iters: int | None = 24,
         msg_dtype: str = "float32",
+        gj_engine: str = "auto",
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -150,6 +151,16 @@ class BPOSD:
             self.H_words = jnp.asarray(pack_rows_host(pcm))
             self.patterns = osd_candidate_patterns(self.k, self.osd_order, method)
             self._osd_meta = analyze_patterns(self.patterns, self.k)
+            if gj_engine == "auto":
+                from ..ops.gf2_pallas import pallas_gj_supported, tpu_backend
+
+                W_words = int(self.H_words.shape[1])
+                gj_engine = (
+                    "pallas"
+                    if tpu_backend() and pallas_gj_supported(self.m, W_words, self.rank)
+                    else "xla"
+                )
+            self.gj_engine = gj_engine
         self._pcm = pcm
         self._core_jit = jax.jit(self.core)
 
@@ -291,6 +302,7 @@ class BPOSD:
                     rank=self.rank,
                     k=self.k,
                     meta=self._osd_meta,
+                    engine=self.gj_engine,
                 )
                 # boundary buckets may straddle converged shots: keep theirs
                 done_c = take(done)

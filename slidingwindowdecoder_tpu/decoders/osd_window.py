@@ -48,6 +48,7 @@ class OSDWindow:
         osd_order: int = 0,
         clip: float = 50.0,
         bucket: int = 512,
+        gj_engine: str = "auto",
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -92,6 +93,16 @@ class OSDWindow:
             else np.zeros((0, 0), np.uint8)
         )
         self._osd_meta = analyze_patterns(self.patterns, self.k)
+        if gj_engine == "auto":
+            from ..ops.gf2_pallas import pallas_gj_supported, tpu_backend
+
+            W_words = int(self.H_words.shape[1])
+            gj_engine = (
+                "pallas"
+                if tpu_backend() and pallas_gj_supported(self.m, W_words, self.rank)
+                else "xla"
+            )
+        self.gj_engine = gj_engine
 
     def _bp(self, mv, synds, vn_state, cn_state, history, error, done, iters, n_it):
         return bp_run(
@@ -163,6 +174,7 @@ class OSDWindow:
             osd = osd_decode(
                 self.H_words, synd_c, rel, self._llr_dev, self.patterns,
                 m=self.m, n=n, rank=self.rank, k=self.k, meta=self._osd_meta,
+                engine=self.gj_engine,
             )
             use_osd = ~post_conv & ~dead_c
             final = jnp.where(

@@ -1,0 +1,240 @@
+"""Pallas TPU kernel for batched reliability-ordered Gauss-Jordan.
+
+Same algorithm as ``ops.gf2_solve.ordered_gauss_jordan`` (the TPU-native
+replacement for ``mod2sparse_decomp_osd``, mod2sparse_extra.cpp:113-376) but
+with the packed elimination state resident in VMEM across all ``rank`` pivot
+steps. The XLA version re-reads and re-writes the [m, W+1, B] state from HBM
+at every pivot step (~25 MB/step at a 256-shot bucket on the [[144]] W=3
+window graphs); here the state is the kernel's *output block*, so it streams
+from HBM exactly once in and once out per shot-chunk, and all 200+ pivot
+steps run at VMEM bandwidth.
+
+Kernel shape rules (see /opt/skills/guides/pallas_guide.md):
+- batch stays on the lane axis in chunks of ``BLOCK_B`` (128 lanes);
+- the row axis is padded to a power of two so the per-step OR-reductions
+  (live-column scan, pivot-row extraction) are log2(m) halving folds of
+  static shape — no gathers, no one-hot matmuls;
+- the per-lane pivot column word is selected by a static unroll over the
+  W packed words (W ~ 54 for the window graphs), each a masked OR.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_W = 32
+_U32 = jnp.uint32
+BLOCK_B = 128
+
+_BIGN = jnp.int32(2**30)
+
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _or_fold_rows(x):
+    """[R(pow2), ..., B] -> [..., B] bitwise-OR over the leading axis."""
+    r = x.shape[0]
+    while r > 1:
+        r //= 2
+        x = x[:r] | x[r : 2 * r]
+    return x[0]
+
+
+def _gj_kernel(h_ref, synd_ref, rpos_ref, state_ref, pcol_ref, prow_ref,
+               incons_ref, *, m, n, rank, W, m_pad):
+    Bc = synd_ref.shape[1]
+    Wp1 = W + 1
+
+    # ---- init: state = [H | syndrome], zero pad rows ------------------------
+    state_ref[...] = jnp.zeros((m_pad, Wp1, Bc), _U32)
+    h = h_ref[...].astype(_U32)  # [m, W]
+    state_ref[0:m, 0:W, :] = jnp.broadcast_to(h[:, :, None], (m, W, Bc))
+    state_ref[0:m, W, :] = synd_ref[...].astype(_U32)
+
+    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (m_pad, Bc), 0)
+    shifts32 = jax.lax.broadcasted_iota(_U32, (W, _W, Bc), 1)
+
+    def step(r, unused):
+        # unused: [m_pad, Bc] int32 1/0 (pad rows 0), carried through the loop
+        un_b = unused == 1
+
+        # live-column words: OR of all unused rows (mask fused into fold lvl 0)
+        half = m_pad // 2
+        live = _or_fold_rows(
+            jnp.where(un_b[0:half, None, :], state_ref[0:half, 0:W, :], _U32(0))
+            | jnp.where(
+                un_b[half:m_pad, None, :],
+                state_ref[half:m_pad, 0:W, :],
+                _U32(0),
+            )
+        )  # [W, Bc]
+
+        # best live column per lane = min reliability-rank among set bits
+        bits = ((live[:, None, :] >> shifts32) & _U32(1)).reshape(W * _W, Bc)
+        keyed = jnp.where(bits > 0, rpos_ref[...], jnp.int32(2**30))
+        jstar = jnp.argmin(keyed, axis=0).astype(jnp.int32).reshape(1, Bc)
+
+        # pivot-column bits of every row: static unroll over the W words
+        jw = jstar // _W  # [1, Bc]
+        js = (jstar % _W).astype(_U32)
+        colw = jnp.zeros((m_pad, Bc), _U32)
+        for w in range(W):
+            colw = colw | jnp.where(jw == w, state_ref[:, w, :], _U32(0))
+        colbit = ((colw >> js) & _U32(1)) > 0  # [m_pad, Bc]
+
+        # first unused row holding the pivot column
+        istar = jnp.argmin(
+            jnp.where(colbit & un_b, iota_rows, jnp.int32(m_pad + 1)), axis=0
+        ).astype(jnp.int32).reshape(1, Bc)
+        row_hot = iota_rows == istar  # [m_pad, Bc]
+
+        # pivot row extraction: masked OR fold (row_hot is one-hot)
+        prow = _or_fold_rows(
+            jnp.where(
+                row_hot[0:half, None, :], state_ref[0:half, :, :], _U32(0)
+            )
+            | jnp.where(
+                row_hot[half:m_pad, None, :],
+                state_ref[half:m_pad, :, :],
+                _U32(0),
+            )
+        )  # [Wp1, Bc]
+
+        sel = colbit & (~row_hot)
+        state_ref[...] = state_ref[...] ^ (
+            sel[:, None, :].astype(_U32) * prow[None, :, :]
+        )
+
+        pcol_ref[pl.ds(r, 1), :] = jstar
+        prow_ref[pl.ds(r, 1), :] = istar
+        return unused * (1 - row_hot.astype(jnp.int32))
+
+    unused0 = (iota_rows < m).astype(jnp.int32)
+    unused = jax.lax.fori_loop(0, rank, step, unused0)
+
+    # syndrome bit outside the pivot span => inconsistent
+    synd_left = (state_ref[:, W, :] & _U32(1)).astype(jnp.int32) * unused
+    incons_ref[0:1, :] = jnp.max(synd_left, axis=0).reshape(1, -1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "n", "rank", "interpret"),
+)
+def ordered_gauss_jordan_pallas(
+    H_words, syndrome, order, *, m: int, n: int, rank: int, interpret: bool = False
+):
+    """Drop-in replacement for ``ordered_gauss_jordan`` (same return dict).
+
+    H_words: [m, W] packed PCM rows; syndrome: [B, m] 0/1; order: [B, n]
+    int32 reliability order. Pads the batch to a multiple of 128 lanes.
+    """
+    B = syndrome.shape[0]
+    W = H_words.shape[1]
+    m_pad = _next_pow2(max(m, 8))
+    n_pad = W * _W
+
+    Bp = -(-B // BLOCK_B) * BLOCK_B
+    synd_t = jnp.zeros((m, Bp), _U32).at[:, :B].set(
+        syndrome.astype(_U32).T
+    )
+    # rank_pos[j, b] = position of column j in lane b's order; pad lanes get
+    # the identity order, pad columns rank BIGN (never live anyway)
+    order_t = order.astype(jnp.int32).T  # [n, B]
+    rank_pos = (
+        jnp.full((n_pad, Bp), _BIGN, jnp.int32)
+        .at[:n, B:]
+        .set(jnp.arange(n, dtype=jnp.int32)[:, None])
+        .at[order_t, jnp.arange(B)[None, :]]
+        .set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, B)))
+    )
+
+    grid = (Bp // BLOCK_B,)
+    kernel = partial(_gj_kernel, m=m, n=n, rank=rank, W=W, m_pad=m_pad)
+    state, pcol, prow, incons = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, BLOCK_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n_pad, BLOCK_B), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (m_pad, W + 1, BLOCK_B),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rank, BLOCK_B), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (rank, BLOCK_B), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, BLOCK_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, W + 1, Bp), _U32),
+            jax.ShapeDtypeStruct((rank, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((rank, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(H_words.astype(_U32), synd_t, rank_pos)
+
+    state = state[:m, :, :B]
+    piv_col = pcol[:, :B]
+    piv_row = prow[:, :B]
+    synd_bits = (state[:, W, :] & _U32(1)).astype(jnp.int32)  # [m, B]
+    sol_bits = jnp.take_along_axis(synd_bits, piv_row, axis=0)  # [rank, B]
+    lane = jnp.arange(B)[None, :]
+    osd0 = (
+        jnp.zeros((n, B), jnp.uint8)
+        .at[piv_col, lane]
+        .set(sol_bits.astype(jnp.uint8))
+        .T
+    )
+    return {
+        "osd0": osd0,
+        "piv_col": piv_col.T,
+        "piv_row": piv_row.T,
+        "reduced_bm": state[:, :W, :],
+        "synd_bits": synd_bits.T,
+        "sol_bits": jnp.transpose(sol_bits).astype(jnp.uint8),
+        "inconsistent": incons[0, :B] > 0,
+    }
+
+
+def tpu_backend() -> bool:
+    """True when the default JAX device is a real TPU (Mosaic can compile)."""
+    try:
+        d = jax.devices()[0]
+    except Exception:  # noqa: BLE001 - no backend at all
+        return False
+    return d.platform == "tpu" or "tpu" in getattr(d, "device_kind", "").lower()
+
+
+def pallas_gj_supported(m: int, W: int, rank: int) -> bool:
+    """Static shape check: does the VMEM-resident state fit one core?
+
+    state (m_pad * (W+1) * 128 * 4B) + fold temp (half that) + rank-pos
+    (W*32*128*4B) must stay well under the ~16 MB/core VMEM budget.
+    """
+    m_pad = _next_pow2(max(m, 8))
+    state = m_pad * (W + 1) * BLOCK_B * 4
+    temp = state // 2
+    rpos = W * _W * BLOCK_B * 4
+    return state + temp + rpos < 12 * 1024 * 1024

@@ -490,6 +490,7 @@ def osd_decode(
     rank: int,
     k: int,
     meta: dict | None = None,
+    engine: str = "xla",
 ):
     """Full OSD: order columns by reliability, eliminate, sweep candidates.
 
@@ -499,9 +500,20 @@ def osd_decode(
     repeatedly MUST pass it (computing it here pulls ``patterns`` back to
     the host every call — a ~2 MB device→host transfer that dwarfs the
     actual elimination on tunneled TPU setups).
+    ``engine``: "xla" | "pallas" | "pallas_interpret" — elimination kernel
+    (the Pallas kernel keeps the packed state VMEM-resident; results are
+    bit-identical).
     """
     order = jnp.argsort(reliability, axis=1, stable=True).astype(jnp.int32)
-    gj = ordered_gauss_jordan(H_words, syndrome, order, m=m, n=n, rank=rank)
+    if engine in ("pallas", "pallas_interpret"):
+        from .gf2_pallas import ordered_gauss_jordan_pallas
+
+        gj = ordered_gauss_jordan_pallas(
+            H_words, syndrome, order, m=m, n=n, rank=rank,
+            interpret=engine == "pallas_interpret",
+        )
+    else:
+        gj = ordered_gauss_jordan(H_words, syndrome, order, m=m, n=n, rank=rank)
 
     if meta is None:
         meta = analyze_patterns(np.asarray(patterns), k)

@@ -84,9 +84,10 @@ def main():
             mv = bp_init_messages(dec.garr, dec._llr_dev, B)
             history, error, done, iters = fresh_bp_state(dec.garr, B)
             it_a, it_b = dec.phase_iters
+            osd_on = dec.osd_method is not None
             mv, history, error, done, iters = dec._run_bp(
                 mv, synd, vn_state, cn_state, history, error, done, iters, it_a,
-                **dec._phase_flags("a"),
+                history_mode="tail" if (it_b == 0 and osd_on) else "none",
             )
             jax.block_until_ready(done)
             if record:
@@ -108,7 +109,7 @@ def main():
 
             if it_b > 0 and len(todo):
                 t0 = time.perf_counter()
-                bucket = max(32, dec.osd_bucket)
+                bucket = max(32, dec.bp_bucket)
                 for lo in range(0, len(todo), bucket):
                     chunk = todo[lo : lo + bucket]
                     g_idx, s_idx = bucket_indices(chunk, bucket)
@@ -116,7 +117,8 @@ def main():
                     mv_c, hist_c, err_c, done_c, it_c = dec._run_bp(
                         sub(mv), sub(synd), sub(vn_state), sub(cn_state),
                         sub(history), sub(error), jnp.zeros((bucket,), bool),
-                        sub(iters), it_b, **dec._phase_flags("b"),
+                        sub(iters), it_b,
+                        history_mode="tail" if osd_on else "none",
                     )
                     upd = lambda full, part: full.at[s_idx].set(part, mode="drop")
                     mv = upd(mv, mv_c)
@@ -148,7 +150,7 @@ def main():
                         dec.H_words, jnp.take(synd, g_idx, axis=0),
                         jnp.take(rel, g_idx, axis=0), dec._llr_dev,
                         dec.patterns, m=dec.m, n=dec.n, rank=dec.rank,
-                        k=dec.k, meta=dec._osd_meta,
+                        k=dec.k, meta=dec._osd_meta, engine=dec.gj_engine,
                     )
                     error = error.at[s_idx].set(
                         osd["solution"].astype(jnp.uint8), mode="drop"
