@@ -84,6 +84,7 @@ class BPOSD:
         bp_bucket: int = 512,
         osd_bucket: int = 512,
         phase_a_iters: int | None = 24,
+        phase_b_spans="auto",
         msg_dtype: str = "float32",
         gj_engine: str = "auto",
     ):
@@ -105,6 +106,28 @@ class BPOSD:
             self.phase_iters = (self.max_iter, 0)
         else:
             self.phase_iters = (int(phase_a_iters), self.max_iter - int(phase_a_iters))
+        # phase B runs in spans with a re-compaction (sort + bucket walk)
+        # between them: shots that converge in an early span stop paying for
+        # the never-converging (OSD-bound) tail that forces later buckets to
+        # run the full budget. Spans are multiples of 4 so the history ring
+        # slots line up and the trajectory is bit-identical to one long run.
+        it_b = self.phase_iters[1]
+        if phase_b_spans is None or it_b == 0:
+            self.phase_b_spans = (it_b,) if it_b else ()
+        elif phase_b_spans == "auto":
+            self.phase_b_spans = (48, it_b - 48) if it_b > 96 else (it_b,)
+        else:
+            spans = tuple(int(s) for s in phase_b_spans)
+            if sum(spans) != it_b or any(s <= 0 for s in spans):
+                raise ValueError(
+                    f"phase_b_spans must be positive and sum to {it_b}"
+                )
+            if any(s % 4 for s in spans[:-1]):
+                raise ValueError(
+                    "non-final phase_b_spans must be multiples of 4 "
+                    "(history ring alignment)"
+                )
+            self.phase_b_spans = spans
 
         method = str(osd_method).lower()
         if method in ("osd_0", "osd0", "0"):
@@ -151,16 +174,10 @@ class BPOSD:
             self.H_words = jnp.asarray(pack_rows_host(pcm))
             self.patterns = osd_candidate_patterns(self.k, self.osd_order, method)
             self._osd_meta = analyze_patterns(self.patterns, self.k)
-            if gj_engine == "auto":
-                from ..ops.gf2_pallas import pallas_gj_supported, tpu_backend
-
-                W_words = int(self.H_words.shape[1])
-                gj_engine = (
-                    "pallas"
-                    if tpu_backend() and pallas_gj_supported(self.m, W_words, self.rank)
-                    else "xla"
-                )
-            self.gj_engine = gj_engine
+            # "auto" == "xla": measured faster than the Pallas engine on the
+            # production window shapes (XLA already keeps the GJ fori-loop
+            # state on-chip; see ops/gf2_pallas.py note)
+            self.gj_engine = "xla" if gj_engine == "auto" else gj_engine
         self._pcm = pcm
         self._core_jit = jax.jit(self.core)
 
@@ -230,45 +247,48 @@ class BPOSD:
         if it_b > 0:
             bucket = _divisor_bucket(B, self.bp_bucket)
             # survivors first, easy (light-syndrome) shots together so
-            # whole-bucket early exit actually fires
+            # whole-bucket early exit actually fires; re-sorted before every
+            # span so early-span convergers drop out of the walk entirely
             synd_weight = jnp.sum(synds, axis=1, dtype=jnp.int32)
-            key = done.astype(jnp.int32) * jnp.int32(m + 2) + synd_weight
-            order = jnp.argsort(key, stable=True).astype(jnp.int32)
-            n_todo = jnp.sum((~done).astype(jnp.int32))
-            hmode = "tail" if osd_on else "none"
+            for si, sp in enumerate(self.phase_b_spans):
+                last_span = si == len(self.phase_b_spans) - 1
+                hmode = "tail" if (osd_on and last_span) else "none"
+                key = done.astype(jnp.int32) * jnp.int32(m + 2) + synd_weight
+                order = jnp.argsort(key, stable=True).astype(jnp.int32)
+                n_todo = jnp.sum((~done).astype(jnp.int32))
 
-            def bp_body(carry):
-                b, mv, history, error, done, iters = carry
-                idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
-                take = lambda a: jnp.take(a, idx, axis=0)
-                sub_synds = take(synds)
-                mv_c, hist_c, err_c, done_c, it_c = self._run_bp(
-                    take(mv),
-                    sub_synds,
-                    jnp.full((bucket, n), -1, jnp.int8),
-                    sub_synds.astype(jnp.int8),
-                    take(history),
-                    take(error),
-                    take(done),
-                    take(iters),
-                    it_b,
-                    history_mode=hmode,
-                )
-                upd = lambda a, v: a.at[idx].set(v)
-                return (
-                    b + 1,
-                    upd(mv, mv_c),
-                    upd(history, hist_c),
-                    upd(error, err_c),
-                    upd(done, done_c),
-                    upd(iters, it_c),
-                )
+                def bp_body(carry, sp=sp, hmode=hmode):
+                    b, mv, history, error, done, iters = carry
+                    idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
+                    take = lambda a: jnp.take(a, idx, axis=0)
+                    sub_synds = take(synds)
+                    mv_c, hist_c, err_c, done_c, it_c = self._run_bp(
+                        take(mv),
+                        sub_synds,
+                        jnp.full((bucket, n), -1, jnp.int8),
+                        sub_synds.astype(jnp.int8),
+                        take(history),
+                        take(error),
+                        take(done),
+                        take(iters),
+                        sp,
+                        history_mode=hmode,
+                    )
+                    upd = lambda a, v: a.at[idx].set(v)
+                    return (
+                        b + 1,
+                        upd(mv, mv_c),
+                        upd(history, hist_c),
+                        upd(error, err_c),
+                        upd(done, done_c),
+                        upd(iters, it_c),
+                    )
 
-            _, mv, history, error, done, iters = jax.lax.while_loop(
-                lambda c: c[0] * bucket < n_todo,
-                bp_body,
-                (jnp.int32(0), mv, history, error, done, iters),
-            )
+                _, mv, history, error, done, iters = jax.lax.while_loop(
+                    lambda c: c[0] * bucket < n_todo,
+                    bp_body,
+                    (jnp.int32(0), mv, history, error, done, iters),
+                )
 
         error = error.astype(jnp.uint8)
         min_pm = jnp.sum(

@@ -93,16 +93,9 @@ class OSDWindow:
             else np.zeros((0, 0), np.uint8)
         )
         self._osd_meta = analyze_patterns(self.patterns, self.k)
-        if gj_engine == "auto":
-            from ..ops.gf2_pallas import pallas_gj_supported, tpu_backend
-
-            W_words = int(self.H_words.shape[1])
-            gj_engine = (
-                "pallas"
-                if tpu_backend() and pallas_gj_supported(self.m, W_words, self.rank)
-                else "xla"
-            )
-        self.gj_engine = gj_engine
+        # "auto" == "xla": measured faster on the production window shapes
+        # (see ops/gf2_pallas.py note)
+        self.gj_engine = "xla" if gj_engine == "auto" else gj_engine
 
     def _bp(self, mv, synds, vn_state, cn_state, history, error, done, iters, n_it):
         return bp_run(

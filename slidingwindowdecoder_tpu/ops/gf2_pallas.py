@@ -59,30 +59,35 @@ def _gj_kernel(h_ref, synd_ref, rpos_ref, state_ref, pcol_ref, prow_ref,
     # ---- init: state = [H | syndrome], zero pad rows ------------------------
     state_ref[...] = jnp.zeros((m_pad, Wp1, Bc), _U32)
     h = h_ref[...].astype(_U32)  # [m, W]
-    state_ref[0:m, 0:W, :] = jnp.broadcast_to(h[:, :, None], (m, W, Bc))
+    state_ref[0:m, 0:W, :] = jnp.broadcast_to(
+        jnp.expand_dims(h, 2), (m, W, Bc)
+    )
     state_ref[0:m, W, :] = synd_ref[...].astype(_U32)
 
     iota_rows = jax.lax.broadcasted_iota(jnp.int32, (m_pad, Bc), 0)
     shifts32 = jax.lax.broadcasted_iota(_U32, (W, _W, Bc), 1)
+    # NOTE: no value[..., None, ...] indexing below — Mosaic lowers mixed
+    # slice/newaxis getitem as an (unsupported) gather; expand_dims instead.
 
     def step(r, unused):
-        # unused: [m_pad, Bc] int32 1/0 (pad rows 0), carried through the loop
-        un_b = unused == 1
+        # unused: [m_pad, Bc] uint32 1/0 (pad rows 0), carried through loop
+        half = m_pad // 2
+        un3 = jnp.expand_dims(unused, 1)  # [m_pad, 1, Bc]
 
         # live-column words: OR of all unused rows (mask fused into fold lvl 0)
-        half = m_pad // 2
         live = _or_fold_rows(
-            jnp.where(un_b[0:half, None, :], state_ref[0:half, 0:W, :], _U32(0))
-            | jnp.where(
-                un_b[half:m_pad, None, :],
-                state_ref[half:m_pad, 0:W, :],
-                _U32(0),
-            )
+            (state_ref[0:half, 0:W, :] * un3[0:half])
+            | (state_ref[half:m_pad, 0:W, :] * un3[half:m_pad])
         )  # [W, Bc]
 
         # best live column per lane = min reliability-rank among set bits
-        bits = ((live[:, None, :] >> shifts32) & _U32(1)).reshape(W * _W, Bc)
-        keyed = jnp.where(bits > 0, rpos_ref[...], jnp.int32(2**30))
+        bits = ((jnp.expand_dims(live, 1) >> shifts32) & _U32(1)).reshape(
+            W * _W, Bc
+        )
+        # Mosaic argmin only lowers for f32; rank positions < 2^24 are exact
+        keyed = jnp.where(
+            bits > 0, rpos_ref[...].astype(jnp.float32), jnp.float32(1e9)
+        )
         jstar = jnp.argmin(keyed, axis=0).astype(jnp.int32).reshape(1, Bc)
 
         # pivot-column bits of every row: static unroll over the W words
@@ -91,40 +96,41 @@ def _gj_kernel(h_ref, synd_ref, rpos_ref, state_ref, pcol_ref, prow_ref,
         colw = jnp.zeros((m_pad, Bc), _U32)
         for w in range(W):
             colw = colw | jnp.where(jw == w, state_ref[:, w, :], _U32(0))
-        colbit = ((colw >> js) & _U32(1)) > 0  # [m_pad, Bc]
+        colbit = (colw >> js) & _U32(1)  # [m_pad, Bc] 0/1
 
         # first unused row holding the pivot column
         istar = jnp.argmin(
-            jnp.where(colbit & un_b, iota_rows, jnp.int32(m_pad + 1)), axis=0
+            jnp.where(
+                (colbit & unused) > 0,
+                iota_rows.astype(jnp.float32),
+                jnp.float32(m_pad + 1),
+            ),
+            axis=0,
         ).astype(jnp.int32).reshape(1, Bc)
-        row_hot = iota_rows == istar  # [m_pad, Bc]
+        row_hot = (iota_rows == istar).astype(_U32)  # [m_pad, Bc] 0/1
 
         # pivot row extraction: masked OR fold (row_hot is one-hot)
+        rh3 = jnp.expand_dims(row_hot, 1)  # [m_pad, 1, Bc]
         prow = _or_fold_rows(
-            jnp.where(
-                row_hot[0:half, None, :], state_ref[0:half, :, :], _U32(0)
-            )
-            | jnp.where(
-                row_hot[half:m_pad, None, :],
-                state_ref[half:m_pad, :, :],
-                _U32(0),
-            )
+            (state_ref[0:half, :, :] * rh3[0:half])
+            | (state_ref[half:m_pad, :, :] * rh3[half:m_pad])
         )  # [Wp1, Bc]
 
-        sel = colbit & (~row_hot)
+        sel = colbit * (_U32(1) - row_hot)  # [m_pad, Bc] 0/1
         state_ref[...] = state_ref[...] ^ (
-            sel[:, None, :].astype(_U32) * prow[None, :, :]
+            jnp.expand_dims(sel, 1) * jnp.expand_dims(prow, 0)
         )
 
         pcol_ref[pl.ds(r, 1), :] = jstar
         prow_ref[pl.ds(r, 1), :] = istar
-        return unused * (1 - row_hot.astype(jnp.int32))
+        return unused * (_U32(1) - row_hot)
 
-    unused0 = (iota_rows < m).astype(jnp.int32)
+    unused0 = (iota_rows < m).astype(_U32)
     unused = jax.lax.fori_loop(0, rank, step, unused0)
 
-    # syndrome bit outside the pivot span => inconsistent
-    synd_left = (state_ref[:, W, :] & _U32(1)).astype(jnp.int32) * unused
+    # syndrome bit outside the pivot span => inconsistent (int32: Mosaic
+    # has no unsigned reductions)
+    synd_left = ((state_ref[:, W, :] & _U32(1)) * unused).astype(jnp.int32)
     incons_ref[0:1, :] = jnp.max(synd_left, axis=0).reshape(1, -1)
 
 
@@ -232,6 +238,13 @@ def pallas_gj_supported(m: int, W: int, rank: int) -> bool:
 
     state (m_pad * (W+1) * 128 * 4B) + fold temp (half that) + rank-pos
     (W*32*128*4B) must stay well under the ~16 MB/core VMEM budget.
+
+    NOTE (measured, TPU v5e, [[144]] W=3 window graph m=216 n=1728
+    rank=216 B=256): the XLA ``ordered_gauss_jordan`` runs in ~0.13 ms —
+    XLA keeps the fori-loop state on-chip already, so this kernel is an
+    *alternative* engine, not a default: decoder ``auto`` resolves to
+    "xla". It remains available for shapes/backends where the XLA loop
+    spills (select with ``gj_engine="pallas"``).
     """
     m_pad = _next_pow2(max(m, 8))
     state = m_pad * (W + 1) * BLOCK_B * 4

@@ -92,3 +92,25 @@ def test_bposd_phase_compaction_invariance(bb72, rng):
     np.testing.assert_array_equal(r_mono.converged, r_two.converged)
     np.testing.assert_array_equal(r_mono.iterations, r_two.iterations)
     np.testing.assert_allclose(r_mono.min_pm, r_two.min_pm, rtol=1e-5)
+
+    # explicit multi-span phase B (re-compaction between spans) must also
+    # be trajectory-identical
+    spans = BPOSD(
+        bb72.hx, np.full(bb72.N, p), phase_a_iters=24, bp_bucket=8,
+        osd_bucket=8, phase_b_spans=(24, 48, 104), **kw,
+    )
+    r_sp = spans.decode_batch(synds)
+    np.testing.assert_array_equal(r_mono.error, r_sp.error)
+    np.testing.assert_array_equal(r_mono.converged, r_sp.converged)
+    np.testing.assert_array_equal(r_mono.iterations, r_sp.iterations)
+    np.testing.assert_allclose(r_mono.min_pm, r_sp.min_pm, rtol=1e-5)
+
+
+def test_bposd_phase_b_spans_validation(bb72):
+    probs = np.full(bb72.N, 0.01)
+    with pytest.raises(ValueError):  # doesn't sum to it_b
+        BPOSD(bb72.hx, probs, max_iter=100, phase_a_iters=20,
+              phase_b_spans=(40, 30))
+    with pytest.raises(ValueError):  # non-final span not a multiple of 4
+        BPOSD(bb72.hx, probs, max_iter=100, phase_a_iters=20,
+              phase_b_spans=(30, 50))

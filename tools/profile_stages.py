@@ -30,7 +30,9 @@ def main():
     ap.add_argument("--max-iter", type=int, default=200)
     ap.add_argument("--seed", type=int, default=2024)
     ap.add_argument("--phase-a", type=int, default=24)
-    ap.add_argument("--bucket", type=int, default=1024)
+    ap.add_argument("--bucket", type=int, default=2048,
+                    help="phase-B BP bucket (production default 2048)")
+    ap.add_argument("--osd-bucket", type=int, default=256)
     ap.add_argument("--msg-dtype", type=str, default="bfloat16")
     args = ap.parse_args()
 
@@ -58,7 +60,8 @@ def main():
         lambda spec: BPOSD(
             spec.mat, spec.prior, max_iter=args.max_iter,
             ms_scaling_factor=1.0, osd_method="osd_cs", osd_order=10,
-            osd_bucket=args.bucket, msg_dtype=args.msg_dtype,
+            bp_bucket=args.bucket, osd_bucket=args.osd_bucket,
+            msg_dtype=args.msg_dtype,
             phase_a_iters=args.phase_a,
         )
     )
