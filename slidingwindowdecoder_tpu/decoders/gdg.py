@@ -298,7 +298,14 @@ def gdg_ensemble(
 
     carry = (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
              converged, conv_pm, conv_error, iters)
-    carry = jax.lax.fori_loop(0, D_max, step, carry)
+    # while-form of fori(0, D_max): exits as soon as every branch row has
+    # halted (converged / dead / out of budget) — with difficulty-sorted
+    # buckets most buckets stop well short of the full step budget
+    _, carry = jax.lax.while_loop(
+        lambda s: (s[0] < D_max) & jnp.any(~s[1][7]),
+        lambda s: (s[0] + 1, step(s[0], s[1])),
+        (jnp.int32(0), carry),
+    )
     (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
      converged, conv_pm, conv_error, iters) = carry
 
@@ -769,9 +776,11 @@ class GDG:
         )
 
         bucket = _divisor_bucket(B, self.ensemble_bucket)
-        order = jnp.argsort(converged.astype(jnp.int32), stable=True).astype(
-            jnp.int32
-        )
+        # survivors first, light-syndrome (easy) shots bucketed together so
+        # the ensemble's all-halted early exit fires bucket-wide
+        synd_weight = jnp.sum(synds, axis=1, dtype=jnp.int32)
+        key = converged.astype(jnp.int32) * jnp.int32(self.m + 2) + synd_weight
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
         n_todo = jnp.sum((~converged).astype(jnp.int32))
 
         def body(carry):

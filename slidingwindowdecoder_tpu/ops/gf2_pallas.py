@@ -240,11 +240,14 @@ def pallas_gj_supported(m: int, W: int, rank: int) -> bool:
     (W*32*128*4B) must stay well under the ~16 MB/core VMEM budget.
 
     NOTE (measured, TPU v5e, [[144]] W=3 window graph m=216 n=1728
-    rank=216 B=256): the XLA ``ordered_gauss_jordan`` runs in ~0.13 ms —
-    XLA keeps the fori-loop state on-chip already, so this kernel is an
-    *alternative* engine, not a default: decoder ``auto`` resolves to
-    "xla". It remains available for shapes/backends where the XLA loop
-    spills (select with ``gj_engine="pallas"``).
+    rank=216 B=256): the XLA ``ordered_gauss_jordan`` runs in ~0.15 ms and
+    the full OSD (elimination + CS sweep) in ~0.27 ms — XLA keeps the
+    fori-loop state on-chip already, so this kernel is an *alternative*
+    engine, not a default: decoder ``auto`` resolves to "xla". Also, the
+    Mosaic compile of the unrolled pivot loop exceeded 25 min on the
+    tunneled axon setup (correctness is held by the interpret-mode tests);
+    select ``gj_engine="pallas"`` only where the XLA loop actually spills
+    and the one-time compile is acceptable.
     """
     m_pad = _next_pow2(max(m, 8))
     state = m_pad * (W + 1) * BLOCK_B * 4

@@ -64,62 +64,29 @@ def main() -> None:
         )
 
     CONFIGS = {
-        # name: (pipeline, decoder kwargs). All bf16 (round-1 winner).
-        # Axis 1: phase-A length (full-batch iterations before compaction);
-        # axis 2: phase-B bucket size (early-exit granularity vs per-call
-        # overhead); axis 3: OSD bucket.
-        "a24_b2048_o512": (
-            "jit",
-            dict(bp_bucket=2048, osd_bucket=512, msg_dtype="bfloat16"),
-        ),
-        "a16_b2048_o512": (
-            "jit",
-            dict(bp_bucket=2048, osd_bucket=512, phase_a_iters=16,
-                 msg_dtype="bfloat16"),
-        ),
-        "a12_b2048_o512": (
-            "jit",
-            dict(bp_bucket=2048, osd_bucket=512, phase_a_iters=12,
-                 msg_dtype="bfloat16"),
-        ),
-        "a12_b1024_o512": (
-            "jit",
-            dict(bp_bucket=1024, osd_bucket=512, phase_a_iters=12,
-                 msg_dtype="bfloat16"),
-        ),
-        "a16_b1024_o512": (
-            "jit",
-            dict(bp_bucket=1024, osd_bucket=512, phase_a_iters=16,
-                 msg_dtype="bfloat16"),
-        ),
-        "a24_b1024_o512": (
-            "jit",
-            dict(bp_bucket=1024, osd_bucket=512, msg_dtype="bfloat16"),
-        ),
-        "a16_b2048_o256": (
+        # name: (pipeline, decoder kwargs). All bf16, phase-A 16, bp bucket
+        # 2048, OSD bucket 256 (round-2 sweep winner, 1631.8 shots/s).
+        # Axis under test now: the phase-B span split (re-compaction points;
+        # sized from tools/conv_cdf.py survivor fractions).
+        "spans_none": (
             "jit",
             dict(bp_bucket=2048, osd_bucket=256, phase_a_iters=16,
-                 msg_dtype="bfloat16"),
+                 phase_b_spans=(184,), msg_dtype="bfloat16"),
         ),
-        # small buckets: only the final (never-converging, OSD-bound) bucket
-        # pays the full phase-B budget; easier buckets exit early
-        "a24_b512_o512": (
+        "spans_48_136": (
             "jit",
-            dict(bp_bucket=512, osd_bucket=512, msg_dtype="bfloat16"),
+            dict(bp_bucket=2048, osd_bucket=256, phase_a_iters=16,
+                 phase_b_spans=(48, 136), msg_dtype="bfloat16"),
         ),
-        "a24_b256_o512": (
+        "spans_48_48_88": (
             "jit",
-            dict(bp_bucket=256, osd_bucket=512, msg_dtype="bfloat16"),
+            dict(bp_bucket=2048, osd_bucket=256, phase_a_iters=16,
+                 phase_b_spans=(48, 48, 88), msg_dtype="bfloat16"),
         ),
-        "a16_b512_o512": (
+        "spans_48_136_b1024": (
             "jit",
-            dict(bp_bucket=512, osd_bucket=512, phase_a_iters=16,
-                 msg_dtype="bfloat16"),
-        ),
-        "a16_b256_o256": (
-            "jit",
-            dict(bp_bucket=256, osd_bucket=256, phase_a_iters=16,
-                 msg_dtype="bfloat16"),
+            dict(bp_bucket=1024, osd_bucket=256, phase_a_iters=16,
+                 phase_b_spans=(48, 136), msg_dtype="bfloat16"),
         ),
     }
     if args.configs:
