@@ -268,6 +268,7 @@ def sliding_window_gdg(
     last_win_gdg_factor: float = 1.0,
     last_win_bp_factor: float = 1.0,
     ensemble_bucket: int = 64,
+    msg_dtype: str = "float32",
     seed: int | None = None,
     verbose: bool = True,
 ):
@@ -304,6 +305,7 @@ def sliding_window_gdg(
             gdg_factor=last_win_gdg_factor if last else 1.0,
             low_error_mode=low_error_mode,
             ensemble_bucket=ensemble_bucket,
+            msg_dtype=msg_dtype,
         )
 
     factory = CachingDecoderFactory(build)

@@ -78,6 +78,45 @@ def main(argv=None):
     cc.add_argument("--batch", type=int, default=4096)
     common(cc)
 
+    gl = sub.add_parser(
+        "global", help="BB circuit-level whole-block BP+OSD (IBM.ipynb)"
+    )
+    gl.add_argument("--N", type=int, default=144)
+    gl.add_argument("--p", type=float, default=0.004)
+    gl.add_argument("--rounds", type=int, default=12)
+    gl.add_argument("--max-iter", type=int, default=200)
+    gl.add_argument("--osd-method", default="osd_cs")
+    gl.add_argument("--osd-order", type=int, default=10)
+    gl.add_argument("--shorten", action="store_true")
+    gl.add_argument("--x-basis", action="store_true")
+    gl.add_argument("--batch", type=int, default=8192)
+    common(gl)
+
+    ph = sub.add_parser(
+        "phenomenological",
+        help="iid data + syndrome flips (Syndrome code.ipynb)",
+    )
+    ph.add_argument("--N", type=int, default=288)
+    ph.add_argument("--p", type=float, default=0.03)
+    ph.add_argument("--p-synd", type=float, default=1e-3)
+    ph.add_argument("--decoder", choices=["bposd", "gdg"], default="bposd")
+    ph.add_argument("--osd-order", type=int, default=10)
+    ph.add_argument("--batch", type=int, default=4096)
+    common(ph)
+
+    dp = sub.add_parser(
+        "depolarizing", help="BP4(+OSD | CAMEL) under Depolarize(p) (Misc.ipynb)"
+    )
+    dp.add_argument("--N", type=int, default=882,
+                    help="882 = QC-GHP [[882,24]]; else BB code by N")
+    dp.add_argument("--p", type=float, default=0.1)
+    dp.add_argument("--max-iter", type=int, default=100)
+    dp.add_argument("--osd-method", default="osd_cs")
+    dp.add_argument("--osd-order", type=int, default=10)
+    dp.add_argument("--camel", action="store_true")
+    dp.add_argument("--batch", type=int, default=2048)
+    common(dp)
+
     sh = sub.add_parser("shyps", help="SHYPS memory experiment (SHYPS.ipynb)")
     sh.add_argument("--r", type=int, default=3)
     sh.add_argument("--p", type=float, default=0.001)
@@ -147,6 +186,60 @@ def _dispatch(ap, args, verbose):
         res = data_qubit_noise_decoding(
             code, args.p, args.shots, {args.decoder: dec},
             batch_size=args.batch, seed=args.seed, verbose=verbose,
+        )
+    elif args.command == "global":
+        from .circuit_level import global_decoder
+
+        res = global_decoder(
+            N=args.N, p=args.p, num_repeat=args.rounds, num_shots=args.shots,
+            max_iter=args.max_iter, z_basis=not args.x_basis,
+            osd_method=args.osd_method, osd_order=args.osd_order,
+            shorten=args.shorten, batch_size=args.batch, seed=args.seed,
+            verbose=verbose,
+        )
+    elif args.command == "phenomenological":
+        from ..codes import bb_code_by_n
+        from ..decoders import BPOSD, GDG
+        from .phenomenological import decode_phenomenological
+
+        code, _, _ = bb_code_by_n(args.N)
+        if args.decoder == "bposd":
+            builders = {
+                "bposd": lambda pcm, pr: BPOSD(
+                    pcm, pr, max_iter=100, osd_method="osd_cs",
+                    osd_order=args.osd_order,
+                )
+            }
+        else:
+            builders = {
+                "gdg": lambda pcm, pr: GDG(pcm, pr, max_iter=100,
+                                           ensemble_bucket=256)
+            }
+        res = decode_phenomenological(
+            code, args.p, args.p_synd, args.shots, builders,
+            batch_size=args.batch, seed=args.seed, verbose=verbose,
+        )
+    elif args.command == "depolarizing":
+        from .depolarizing import depolarizing_decoding
+
+        if args.N == 882:
+            from ..codes import (
+                create_cyclic_permuting_matrix,
+                create_QC_GHP_codes,
+            )
+
+            code = create_QC_GHP_codes(
+                63, create_cyclic_permuting_matrix(7, [27, 54, 0]), [0, 1, 6]
+            )
+        else:
+            from ..codes import bb_code_by_n
+
+            code, _, _ = bb_code_by_n(args.N)
+        res = depolarizing_decoding(
+            code, args.p, args.shots, max_iter=args.max_iter,
+            osd_method=args.osd_method, osd_order=args.osd_order,
+            camel=args.camel, batch_size=args.batch, seed=args.seed,
+            verbose=verbose,
         )
     elif args.command == "shyps":
         from .shyps import decode_shyps

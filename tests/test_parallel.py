@@ -279,6 +279,23 @@ def test_cli_smoke():
     assert payload["bposd"]["shots"] == 64
 
 
+def test_cli_phenomenological_smoke():
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "slidingwindowdecoder_tpu.harness.cli",
+            "phenomenological", "--N", "72", "--p", "0.02", "--p-synd",
+            "0.001", "--shots", "64", "--batch", "64", "--quiet",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=500,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["bposd"]["shots"] == 64
+
+
 def test_elastic_recovery(tmp_path):
     """Failure detection + recovery plan (SURVEY §5): a host whose
     checkpoint heartbeat went stale is declared lost; the plan names the
