@@ -87,6 +87,7 @@ class BPOSD:
         phase_b_spans="auto",
         msg_dtype: str = "float32",
         gj_engine: str = "auto",
+        cn_engine: str = "auto",
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -163,6 +164,10 @@ class BPOSD:
             )
         self.llr = np.log((1 - channel_probs) / channel_probs).astype(np.float32)
         self._llr_dev = jnp.asarray(self.llr)
+        # "auto" == "xla" until the Pallas CN kernel is benchmarked on real
+        # TPU (select cn_engine="pallas" explicitly to measure; results are
+        # bit-identical — tests/test_bp_pallas.py)
+        self.cn_engine = "xla" if cn_engine == "auto" else cn_engine
 
         if method is not None:
             self.rank = gf2_rank_packed(pcm)
@@ -189,6 +194,8 @@ class BPOSD:
         # so the unmasked fast path applies. Converged shots' messages are
         # never consumed downstream (history drives OSD; errors are frozen by
         # the active mask), so the message freeze is skipped too.
+        B = synds.shape[0]
+        cn_engine = self.cn_engine if B % 128 == 0 else "xla"
         return bp_run(
             self.garr,
             mv,
@@ -208,6 +215,7 @@ class BPOSD:
             freeze_messages=False,
             history_mode=history_mode,
             posterior_matmul=self._posterior_matmul,
+            cn_engine=cn_engine,
         )
 
     def _reliability(self, history, total_iters: int):

@@ -124,6 +124,7 @@ def check_syndrome(garr, error):
         "freeze_messages",
         "history_mode",
         "posterior_matmul",
+        "cn_engine",
     ),
 )
 def bp_run(
@@ -146,6 +147,7 @@ def bp_run(
     freeze_messages: bool = True,
     history_mode: str = "full",
     posterior_matmul: bool = False,
+    cn_engine: str = "xla",
 ):
     """Run up to ``num_iter`` BP iterations with per-shot convergence freeze.
 
@@ -226,7 +228,19 @@ def bp_run(
         decisions come from the same rounded posterior the edges see, so
         the per-VN error and the per-edge syndrome check never disagree.
         """
-        mc_g = _cn_update_sm(mv_sm, edge_valid, parity, alpha=alpha, clip=clip)
+        if cn_engine in ("pallas", "pallas_interpret"):
+            if masked:
+                raise ValueError("cn_engine='pallas' requires masked=False")
+            from .bp_pallas import cn_update_pallas
+
+            mc_g = cn_update_pallas(
+                mv_sm, cn_valid_sm, parity, alpha=alpha, clip=clip,
+                interpret=cn_engine == "pallas_interpret",
+            )
+        else:
+            mc_g = _cn_update_sm(
+                mv_sm, edge_valid, parity, alpha=alpha, clip=clip
+            )
         mc_flat = mc_g.reshape(dc * m_pad, B)  # bitcast (m_pad % 32 == 0)
         if posterior_matmul:
             # per-VN message sum as one MXU matmul against the static 0/1
