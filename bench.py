@@ -36,6 +36,11 @@ def main() -> None:
         "--profile", type=str, default=None,
         help="write a jax.profiler trace of the timed run to this directory",
     )
+    ap.add_argument(
+        "--cn-engine", type=str, default="auto",
+        choices=["auto", "xla", "pallas"],
+        help="check-node update engine (pallas = fused Pallas kernel)",
+    )
     args = ap.parse_args()
 
     import os
@@ -93,12 +98,15 @@ def main() -> None:
             spec.prior,
             max_iter=max_iter,
             ms_scaling_factor=1.0,
+            # round-2 sweep winner (docs/sweep_spans.log): phase-A 16,
+            # phase-B spans (48, 136) over 1024-buckets, OSD bucket 256
             osd_method="osd_cs",
             osd_order=osd_order,
-            bp_bucket=2048,
+            bp_bucket=1024,
             osd_bucket=256,
             phase_a_iters=None if args.smoke else 16,
             msg_dtype="bfloat16",
+            cn_engine=args.cn_engine,
         )
     )
 
