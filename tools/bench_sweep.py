@@ -88,6 +88,12 @@ def main() -> None:
             dict(bp_bucket=1024, osd_bucket=256, phase_a_iters=16,
                  phase_b_spans=(48, 136), msg_dtype="bfloat16"),
         ),
+        "spans_48_136_b1024_cnpallas": (
+            "jit",
+            dict(bp_bucket=1024, osd_bucket=256, phase_a_iters=16,
+                 phase_b_spans=(48, 136), msg_dtype="bfloat16",
+                 cn_engine="pallas"),
+        ),
     }
     if args.configs:
         names = args.configs.split(",")
