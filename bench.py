@@ -99,10 +99,10 @@ def main() -> None:
             max_iter=max_iter,
             ms_scaling_factor=1.0,
             # round-2 sweep winner (docs/sweep_spans.log): phase-A 16,
-            # phase-B spans (48, 136) over 1024-buckets, OSD bucket 256
+            # phase-B spans (48, 136) over 2048-buckets, OSD bucket 256
             osd_method="osd_cs",
             osd_order=osd_order,
-            bp_bucket=1024,
+            bp_bucket=2048,
             osd_bucket=256,
             phase_a_iters=None if args.smoke else 16,
             msg_dtype="bfloat16",
