@@ -72,8 +72,11 @@ def depolarizing_decoding(
         )
         dx = (res.error[:, 0].astype(np.int64) + ex) % 2
         dz = (res.error[:, 1].astype(np.int64) + ez) % 2
-        logical = ((dz @ hx_perp_T) % 2).any(axis=1) | (
-            (dx @ hz_perp_T) % 2
+        # a residual Z-component is a logical error iff it lies outside the
+        # row space of hz, i.e. has overlap with ker(hz) = hz_perp (and
+        # symmetrically for X); Misc.ipynb cell 2 (e_diff_z @ hz_perp.T)
+        logical = ((dz @ hz_perp_T) % 2).any(axis=1) | (
+            (dx @ hx_perp_T) % 2
         ).any(axis=1)
         num_err += int(logical.sum())
         num_flagged += int((~res.converged).sum())

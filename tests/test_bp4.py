@@ -89,3 +89,32 @@ def test_camel_decode(bb72, dec72, rng):
     assert np.array_equal((err_z[ok] @ bb72.hx.T) % 2, sx[ok])
     assert np.array_equal((err_x[ok] @ bb72.hz.T) % 2, sz[ok])
     assert ok.mean() > 0.5
+
+
+def test_depolarizing_harness_perp_orientation():
+    """Residual-stabilizer corrections must not count as logical errors.
+
+    On a non-self-dual code (hx != hz) a decoder answer that differs from
+    the truth by a Z-stabilizer (row of hz) has zero syndrome and zero
+    logical action, but DOES overlap hx_perp — checking the Z-residual
+    against the wrong kernel flags it. Reference: Misc.ipynb cell 2
+    (e_diff_z @ hz_perp.T, e_diff_x @ hx_perp.T). Regression for the
+    [[882]] BP4 parity blow-up (LER 0.5) this swap caused.
+    """
+    from slidingwindowdecoder_tpu.codes import (
+        create_QC_GHP_codes,
+        create_cyclic_permuting_matrix,
+    )
+
+    code = create_QC_GHP_codes(
+        7, create_cyclic_permuting_matrix(7, [3, 5, 0]) % 2, [0, 1]
+    )
+    assert not np.array_equal(code.hx, code.hz)  # non-self-dual
+    hz_perp_T = code.hz_perp.T.astype(np.int64)
+    hx_perp_T = code.hx_perp.T.astype(np.int64)
+    dz = code.hz[:1].astype(np.int64)  # Z-stabilizer residual
+    dx = code.hx[:1].astype(np.int64)  # X-stabilizer residual
+    assert not ((dz @ hz_perp_T) % 2).any()
+    assert not ((dx @ hx_perp_T) % 2).any()
+    # the swapped orientation would (generically) flag these:
+    assert ((dz @ hx_perp_T) % 2).any() or ((dx @ hz_perp_T) % 2).any()

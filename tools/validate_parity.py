@@ -179,7 +179,7 @@ def run_camel(name, shots, seed, *, ref):
     t0 = time.perf_counter()
     res = depolarizing_decoding(
         code, 0.02, shots, max_iter=50, ms_scaling_factor=0.8,
-        osd_method="off", osd_order=0, camel=True, batch_size=4096,
+        osd_method="off", osd_order=0, camel=True, batch_size=1024,
         seed=seed, verbose=True,
     )
     return _verdict(name, res["num_err"], shots, ref[0], ref[1],
@@ -194,13 +194,22 @@ def run_phenom(name, shots, seed, *, N, p, p_synd, which, ref):
     )
 
     code, _, _ = bb_code_by_n(N)
+    # Decoder parameterization matches Syndrome code.ipynb cell 1 exactly:
+    # OSD ms=0.625; GDG gdg_factor=0.625, max_step=40, tree 4 / side 20,
+    # branch steps 30/30, multi-thread low-error mode, pre-BP 8 at ms
+    # 0.625, new_n=None (-> first 2m columns after ranking).
     if which == "osd":
         builders = {which: lambda pcm, pr: BPOSD(pcm, pr, max_iter=100,
+                                                 ms_scaling_factor=0.625,
                                                  osd_method="osd_cs",
                                                  osd_order=10)}
     else:
-        builders = {which: lambda pcm, pr: GDG(pcm, pr, max_iter=100,
-                                               ensemble_bucket=256)}
+        builders = {which: lambda pcm, pr: GDG(
+            pcm, pr, max_iter=8, ms_scaling_factor=0.625, gdg_factor=0.625,
+            max_iter_per_step=6, max_step=40, max_tree_depth=4,
+            max_side_depth=20, max_side_branch_step=30,
+            max_tree_branch_step=30, low_error_mode=True,
+            ensemble_bucket=256)}
     t0 = time.perf_counter()
     res = decode_phenomenological(
         code, p, p_synd, shots, builders, batch_size=16384, seed=seed,
@@ -225,7 +234,7 @@ def run_bp4(name, shots, seed, *, p, osd_order, ref):
     )
     t0 = time.perf_counter()
     res = depolarizing_decoding(
-        code, p, shots, max_iter=100,
+        code, p, shots, max_iter=100, ms_scaling_factor=0.625,
         osd_method=("osd_cs" if osd_order else "osd_0"), osd_order=osd_order,
         seed=seed, verbose=True,
     )
