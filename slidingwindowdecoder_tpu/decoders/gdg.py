@@ -173,7 +173,7 @@ def _select_and_decimate(
 @partial(
     jax.jit,
     static_argnames=("num_iter", "D_max", "NB", "alpha", "clip", "low_error_mode",
-                     "msg_dtype"),
+                     "msg_dtype", "early_exit"),
 )
 def gdg_ensemble(
     garr,
@@ -196,6 +196,7 @@ def gdg_ensemble(
     clip: float,
     low_error_mode: bool,
     msg_dtype: str = "float32",
+    early_exit: bool = False,
 ):
     """Run the branch ensemble; returns per-shot best error / pm / converged."""
     BK, m = syndrome.shape
@@ -298,14 +299,21 @@ def gdg_ensemble(
 
     carry = (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
              converged, conv_pm, conv_error, iters)
-    # while-form of fori(0, D_max): exits as soon as every branch row has
-    # halted (converged / dead / out of budget) — with difficulty-sorted
-    # buckets most buckets stop well short of the full step budget
-    _, carry = jax.lax.while_loop(
-        lambda s: (s[0] < D_max) & jnp.any(~s[1][7]),
-        lambda s: (s[0] + 1, step(s[0], s[1])),
-        (jnp.int32(0), carry),
-    )
+    if early_exit:
+        # while-form of fori(0, D_max): exits as soon as every branch row
+        # has halted (converged / dead / out of budget) — with
+        # difficulty-sorted buckets most buckets stop well short of the
+        # full step budget. Opt-in: this while-form reproducibly crashed
+        # the TPU worker on the [[288]] W=4 and [[144]] (5,2) sliding-
+        # window graphs (UNAVAILABLE worker restart), so the default stays
+        # the fixed-trip fori loop until that is root-caused.
+        _, carry = jax.lax.while_loop(
+            lambda s: (s[0] < D_max) & jnp.any(~s[1][7]),
+            lambda s: (s[0] + 1, step(s[0], s[1])),
+            (jnp.int32(0), carry),
+        )
+    else:
+        carry = jax.lax.fori_loop(0, D_max, step, carry)
     (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
      converged, conv_pm, conv_error, iters) = carry
 
@@ -633,6 +641,7 @@ class GDG:
         ensemble_bucket: int = 64,
         msg_dtype: str = "float32",
         multi_thread: bool = True,
+        ensemble_early_exit: bool = False,
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -649,6 +658,7 @@ class GDG:
         self.new_n = min(self.n, 2 * self.m) if new_n is None else min(new_n, self.n)
         self.ensemble_bucket = int(ensemble_bucket)
         self.multi_thread = bool(multi_thread)
+        self.ensemble_early_exit = bool(ensemble_early_exit)
         self.max_step = int(max_step)
         self.max_tree_depth = int(max_tree_depth)
         self.max_side_depth = int(max_side_depth)
@@ -726,6 +736,7 @@ class GDG:
                 clip=self.clip,
                 low_error_mode=self.low_error_mode,
                 msg_dtype=self.msg_dtype,
+                early_exit=self.ensemble_early_exit,
             )
         return gdg_serial(
             self.garr,
