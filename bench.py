@@ -98,7 +98,7 @@ def main() -> None:
             spec.prior,
             max_iter=max_iter,
             ms_scaling_factor=1.0,
-            # round-2 sweep winner (docs/sweep_spans.log): phase-A 16,
+            # round-2 sweep winner (docs/bench_r2_spans.json): phase-A 16,
             # phase-B spans (48, 136) over 2048-buckets, OSD bucket 256
             osd_method="osd_cs",
             osd_order=osd_order,
