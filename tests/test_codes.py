@@ -131,3 +131,38 @@ def test_large_bb_codes(N, K):
     code, _, _ = bb_code_by_n(N)
     assert code.N == N and code.K == K
     check_css_invariants(code)
+
+
+# Golden construction outputs from the reference's Misc.ipynb cell 7:
+# the CAMEL (cycle-assemble) and EG (Euclidean-geometry) series print
+# name strings encoding (N, K); reproducing them validates the whole
+# polynomial/GF(2^m) machinery behind both constructors.
+@pytest.mark.parametrize(
+    "args,N,K",
+    [((7, 3), 50, 12), ((11, 2), 122, 20), ((13, 2), 170, 24),
+     ((17, 3), 290, 32), ((19, 3), 362, 36)],
+)
+def test_camel_codes_golden(args, N, K):
+    from slidingwindowdecoder_tpu.codes import create_cycle_assemble_codes
+
+    code = create_cycle_assemble_codes(*args)
+    assert (code.N, code.K) == (N, K), code.name
+    check_css_invariants(code)
+
+
+@pytest.mark.parametrize("s,N,K", [(1, 7, 1), (2, 21, 3), (3, 73, 19)])
+def test_eg_codes_golden(s, N, K):
+    from slidingwindowdecoder_tpu.codes import create_EG_codes
+
+    code = create_EG_codes(s)
+    assert (code.N, code.K) == (N, K), code.name
+    check_css_invariants(code)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("s,N,K", [(4, 273, 111), (5, 1057, 571)])
+def test_eg_codes_golden_large(s, N, K):
+    from slidingwindowdecoder_tpu.codes import create_EG_codes
+
+    code = create_EG_codes(s)
+    assert (code.N, code.K) == (N, K), code.name
