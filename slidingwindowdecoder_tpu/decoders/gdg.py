@@ -303,10 +303,11 @@ def gdg_ensemble(
         # while-form of fori(0, D_max): exits as soon as every branch row
         # has halted (converged / dead / out of budget) — with
         # difficulty-sorted buckets most buckets stop well short of the
-        # full step budget. Opt-in: this while-form reproducibly crashed
-        # the TPU worker on the [[288]] W=4 and [[144]] (5,2) sliding-
-        # window graphs (UNAVAILABLE worker restart), so the default stays
-        # the fixed-trip fori loop until that is root-caused.
+        # full step budget. NOTE on large windows: the TPU worker crashes
+        # (UNAVAILABLE restart) on the [[288]] W=4 and [[144]] (5,2)
+        # sliding-window graphs at ensemble_bucket=64 in BOTH loop forms
+        # (m_pad>=384 x 22 lanes x 64 shots); shrink ensemble_bucket
+        # (16 works) on those graphs. Not yet root-caused.
         _, carry = jax.lax.while_loop(
             lambda s: (s[0] < D_max) & jnp.any(~s[1][7]),
             lambda s: (s[0] + 1, step(s[0], s[1])),
