@@ -216,3 +216,27 @@ def test_gdg_serial_main_branch_equals_ensemble(bb72, rng):
     np.testing.assert_allclose(
         res_m.min_pm[res_m.converged], res_s.min_pm[res_s.converged], rtol=1e-5
     )
+
+
+def test_gdg_bucket_size_invariance(bb72, rng):
+    """Per-shot GDG results must not depend on ensemble_bucket (the bucket
+    walk is difficulty-sorted compaction only). This is what makes the
+    W>=4 crash workaround — shrinking the bucket on large window graphs —
+    statistically free."""
+    p = 0.05
+    kw = dict(
+        max_iter=24, ms_scaling_factor=0.625, gdg_factor=0.625,
+        max_iter_per_step=6, max_step=40, max_tree_depth=3,
+        max_side_depth=10, max_tree_branch_step=20, max_side_branch_step=20,
+        new_n=bb72.N, low_error_mode=True,
+    )
+    shots = 48
+    errs = (rng.random((shots, bb72.N)) < p).astype(np.uint8)
+    synds = (errs @ bb72.hx.T) % 2
+    res_16 = GDG(bb72.hx, np.full(bb72.N, p), ensemble_bucket=16,
+                 **kw).decode_batch(synds)
+    res_8 = GDG(bb72.hx, np.full(bb72.N, p), ensemble_bucket=8,
+                **kw).decode_batch(synds)
+    np.testing.assert_array_equal(res_16.converged, res_8.converged)
+    np.testing.assert_array_equal(res_16.error, res_8.error)
+    np.testing.assert_allclose(res_16.min_pm, res_8.min_pm, rtol=1e-5)
