@@ -170,6 +170,205 @@ def _select_and_decimate(
     return vn_state, cn_state, cn_degree, dead, guess_vn, favor, has_neg | has_any
 
 
+def _ensemble_init(garr, llr, syndrome, vn_state0, cn_state0, cn_degree0,
+                   dead0, NB: int):
+    """Tile per-shot state over the NB branch lanes (shot-major rows)."""
+    BK, _ = syndrome.shape
+    n = garr["vn_valid"].shape[0]
+    BN = BK * NB
+    tile = lambda x: jnp.repeat(x, NB, axis=0)  # shot-major [BK*NB, ...]
+    synd = tile(syndrome)
+    dead = tile(dead0[:, None])[:, 0]
+    llr_b = jnp.broadcast_to(llr, (BN, n))
+    branch_of_row = jnp.tile(jnp.arange(NB, dtype=jnp.int32), BK)
+    mv = bp_init_messages(garr, llr_b, BN)
+    history, error, _, iters = fresh_bp_state(garr, BN)
+    carry = (
+        mv, history, error, tile(vn_state0), tile(cn_state0),
+        tile(cn_degree0), dead, dead,  # halted starts as dead
+        jnp.zeros((BN,), bool),
+        jnp.full((BN,), MAX_PM, jnp.float32),
+        jnp.zeros((BN, n), jnp.int8),
+        iters,
+    )
+    return carry, synd, llr_b, branch_of_row
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_iter", "alpha", "clip", "low_error_mode",
+                     "msg_dtype"),
+)
+def _ensemble_step(
+    garr,
+    llr_b,
+    synd,
+    branch_of_row,
+    budget_row,
+    flip_now,
+    reinit_tab,
+    A_arr,
+    Asum_arr,
+    d,
+    carry,
+    *,
+    num_iter: int,
+    alpha: float,
+    clip: float,
+    low_error_mode: bool,
+    msg_dtype: str,
+):
+    """One ensemble decimation step: masked BP burst, select_vn, decimate,
+    peel, side-branch message reinit. Shared by the fused fori/while form
+    (``gdg_ensemble``) and the host-stepped form
+    (``gdg_ensemble_hostloop``)."""
+    (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
+     converged, conv_pm, conv_error, iters) = carry
+    BN, n = vn_state.shape
+    active = ~halted & (d < budget_row)
+
+    # --- masked BP (num_iter iterations, early per-row freeze) ---------
+    mv, history, error, bp_done, iters = bp_run(
+        garr, mv, llr_b, synd, vn_state, cn_state, history, error,
+        ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
+        msg_dtype=msg_dtype,
+    )
+    newly_conv = bp_done & active
+    pm = jnp.sum(llr_b * (error == 1), axis=-1)
+    conv_pm = jnp.where(newly_conv, pm, conv_pm)
+    conv_error = jnp.where(newly_conv[:, None], error, conv_error)
+    converged = converged | newly_conv
+    halted = halted | newly_conv
+    active = active & ~newly_conv
+
+    # --- select_vn: aggressive decimation + guess choice ---------------
+    A = A_arr[branch_of_row, d][:, None]
+    A_sum = Asum_arr[branch_of_row, d]
+    (
+        vn_state,
+        cn_state,
+        cn_degree,
+        dead,
+        guess_vn,
+        favor,
+        has_cand,
+    ) = _select_and_decimate(
+        garr,
+        history,
+        error,
+        synd,
+        vn_state,
+        cn_state,
+        cn_degree,
+        dead,
+        active,
+        A,
+        A_sum,
+        jnp.broadcast_to(d < 4, active.shape),
+        low_error_mode=low_error_mode,
+        vn_deg=garr["vn_degree"],
+    )
+
+    # no candidate -> branch ends (reference guess_vn == -1 break)
+    halted = halted | (active & ~has_cand)
+
+    # --- decision: favored, possibly flipped for this branch -----------
+    flip = flip_now[branch_of_row, d]
+    value = (favor ^ flip.astype(jnp.int8)).astype(jnp.int8)
+    do_set = active & ~halted & ~dead
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (BN, n), 1) == guess_vn[:, None]
+    ) & do_set[:, None]
+    vn_state, cn_state, cn_degree, dead = vn_set_values(
+        garr, vn_state, cn_state, cn_degree, dead,
+        onehot, jnp.broadcast_to(value[:, None], (BN, n)),
+    )
+    vn_state, cn_state, cn_degree, dead = peel(
+        garr, vn_state, cn_state, cn_degree, dead
+    )
+    halted = halted | dead
+
+    # side branches restart BP messages from the priors at their flip
+    re = reinit_tab[branch_of_row, d] & do_set
+    mv = jnp.where(re[:, None, None], bp_init_messages(garr, llr_b, BN), mv)
+
+    # keep decided values reflected in the running error vector
+    error = jnp.where(vn_state != -1, vn_state, error)
+    return (mv, history, error, vn_state, cn_state, cn_degree, dead,
+            halted, converged, conv_pm, conv_error, iters)
+
+
+@partial(jax.jit, static_argnames=("BK", "NB"))
+def _ensemble_reduce(carry, BK: int, NB: int):
+    """Min-pm argmin over converged branches; main-lane error fallback."""
+    (_, _, error, _, _, _, _, _, converged, conv_pm, conv_error,
+     iters) = carry
+    n = error.shape[1]
+    conv_pm_b = conv_pm.reshape(BK, NB)
+    conv_err_b = conv_error.reshape(BK, NB, n)
+    converged_b = converged.reshape(BK, NB)
+    any_conv = jnp.any(converged_b, axis=1)
+    best = jnp.argmin(jnp.where(converged_b, conv_pm_b, MAX_PM), axis=1)
+    best_err = jnp.take_along_axis(conv_err_b, best[:, None, None], axis=1)[:, 0]
+    main_err = error.reshape(BK, NB, n)[:, 0]
+    final_err = jnp.where(any_conv[:, None], best_err, main_err)
+    best_pm = jnp.min(jnp.where(converged_b, conv_pm_b, MAX_PM), axis=1)
+    total_iters = jnp.sum(iters.reshape(BK, NB), axis=1)
+    return {
+        "error": final_err.astype(jnp.uint8),
+        "converged": any_conv,
+        "min_pm": best_pm,
+        "iterations": total_iters,
+    }
+
+
+def gdg_ensemble_hostloop(
+    garr,
+    llr,
+    syndrome,  # [BK, m]
+    vn_state0,
+    cn_state0,
+    cn_degree0,
+    dead0,
+    flip_now,
+    reinit,
+    budget,
+    A_arr,
+    Asum_arr,
+    *,
+    num_iter: int,
+    D_max: int,
+    NB: int,
+    alpha: float,
+    clip: float,
+    low_error_mode: bool,
+    msg_dtype: str = "float32",
+):
+    """Host-stepped branch ensemble: a Python loop over jitted
+    ``_ensemble_step`` programs with an all-halted early exit per step.
+
+    Semantically identical to ``gdg_ensemble`` (same step function, same
+    reduce), but the compiled unit is ONE decimation step instead of the
+    whole fori(D_max) nest — the program whose fused form crashes the TPU
+    worker on large (W>=4) window graphs, and the early exit is free
+    because the loop is already on the host."""
+    BK, _ = syndrome.shape
+    carry, synd, llr_b, branch_of_row = _ensemble_init(
+        garr, llr, syndrome, vn_state0, cn_state0, cn_degree0, dead0, NB
+    )
+    budget_row = budget[branch_of_row]
+    for d in range(D_max):
+        carry = _ensemble_step(
+            garr, llr_b, synd, branch_of_row, budget_row, flip_now, reinit,
+            A_arr, Asum_arr, jnp.int32(d), carry,
+            num_iter=num_iter, alpha=alpha, clip=clip,
+            low_error_mode=low_error_mode, msg_dtype=msg_dtype,
+        )
+        if bool(carry[7].all()):  # halted
+            break
+    return _ensemble_reduce(carry, BK, NB)
+
+
 @partial(
     jax.jit,
     static_argnames=("num_iter", "D_max", "NB", "alpha", "clip", "low_error_mode",
@@ -200,114 +399,29 @@ def gdg_ensemble(
 ):
     """Run the branch ensemble; returns per-shot best error / pm / converged."""
     BK, m = syndrome.shape
-    n = garr["vn_valid"].shape[0]
-    BN = BK * NB
-
-    tile = lambda x: jnp.repeat(x, NB, axis=0)  # shot-major [BK*NB, ...]
-    synd = tile(syndrome)
-    vn_state = tile(vn_state0)
-    cn_state = tile(cn_state0)
-    cn_degree = tile(cn_degree0)
-    dead = tile(dead0[:, None])[:, 0]
-    llr_b = jnp.broadcast_to(llr, (BN, n))
-
-    branch_of_row = jnp.tile(jnp.arange(NB, dtype=jnp.int32), BK)
+    carry, synd, llr_b, branch_of_row = _ensemble_init(
+        garr, llr, syndrome, vn_state0, cn_state0, cn_degree0, dead0, NB
+    )
     budget_row = budget[branch_of_row]
 
-    mv = bp_init_messages(garr, llr_b, BN)
-    history, error, _, iters = fresh_bp_state(garr, BN)
-    halted = dead
-    converged = jnp.zeros((BN,), bool)
-    conv_pm = jnp.full((BN,), MAX_PM, jnp.float32)
-    conv_error = jnp.zeros((BN, n), jnp.int8)
-    vn_deg = garr["vn_degree"]
+    step = partial(
+        _ensemble_step,
+        garr, llr_b, synd, branch_of_row, budget_row, flip_now, reinit,
+        A_arr, Asum_arr,
+        num_iter=num_iter, alpha=alpha, clip=clip,
+        low_error_mode=low_error_mode, msg_dtype=msg_dtype,
+    )
 
-    def step(d, carry):
-        (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
-         converged, conv_pm, conv_error, iters) = carry
-        active = ~halted & (d < budget_row)
-
-        # --- masked BP (num_iter iterations, early per-row freeze) ---------
-        mv, history, error, bp_done, iters = bp_run(
-            garr, mv, llr_b, synd, vn_state, cn_state, history, error,
-            ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
-            msg_dtype=msg_dtype,
-        )
-        newly_conv = bp_done & active
-        pm = jnp.sum(llr_b * (error == 1), axis=-1)
-        conv_pm = jnp.where(newly_conv, pm, conv_pm)
-        conv_error = jnp.where(newly_conv[:, None], error, conv_error)
-        converged = converged | newly_conv
-        halted = halted | newly_conv
-        active = active & ~newly_conv
-
-        # --- select_vn: aggressive decimation + guess choice ---------------
-        A = A_arr[branch_of_row, d][:, None]
-        A_sum = Asum_arr[branch_of_row, d]
-        (
-            vn_state,
-            cn_state,
-            cn_degree,
-            dead,
-            guess_vn,
-            favor,
-            has_cand,
-        ) = _select_and_decimate(
-            garr,
-            history,
-            error,
-            synd,
-            vn_state,
-            cn_state,
-            cn_degree,
-            dead,
-            active,
-            A,
-            A_sum,
-            jnp.broadcast_to(d < 4, active.shape),
-            low_error_mode=low_error_mode,
-            vn_deg=vn_deg,
-        )
-
-        # no candidate -> branch ends (reference guess_vn == -1 break)
-        halted = halted | (active & ~has_cand)
-
-        # --- decision: favored, possibly flipped for this branch -----------
-        flip = flip_now[branch_of_row, d]
-        value = (favor ^ flip.astype(jnp.int8)).astype(jnp.int8)
-        do_set = active & ~halted & ~dead
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (BN, n), 1) == guess_vn[:, None]
-        ) & do_set[:, None]
-        vn_state, cn_state, cn_degree, dead = vn_set_values(
-            garr, vn_state, cn_state, cn_degree, dead,
-            onehot, jnp.broadcast_to(value[:, None], (BN, n)),
-        )
-        vn_state, cn_state, cn_degree, dead = peel(
-            garr, vn_state, cn_state, cn_degree, dead
-        )
-        halted = halted | dead
-
-        # side branches restart BP messages from the priors at their flip
-        re = reinit[branch_of_row, d] & do_set
-        mv = jnp.where(re[:, None, None], bp_init_messages(garr, llr_b, BN), mv)
-
-        # keep decided values reflected in the running error vector
-        error = jnp.where(vn_state != -1, vn_state, error)
-        return (mv, history, error, vn_state, cn_state, cn_degree, dead,
-                halted, converged, conv_pm, conv_error, iters)
-
-    carry = (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
-             converged, conv_pm, conv_error, iters)
     if early_exit:
         # while-form of fori(0, D_max): exits as soon as every branch row
         # has halted (converged / dead / out of budget) — with
         # difficulty-sorted buckets most buckets stop well short of the
-        # full step budget. NOTE on large windows: the TPU worker crashes
-        # (UNAVAILABLE restart) on the [[288]] W=4 and [[144]] (5,2)
-        # sliding-window graphs at ensemble_bucket=64 in BOTH loop forms
-        # (m_pad>=384 x 22 lanes x 64 shots); shrink ensemble_bucket
-        # (16 works) on those graphs. Not yet root-caused.
+        # full step budget. NOTE on large windows: the fused program (in
+        # BOTH loop forms, any ensemble_bucket) crashes the TPU worker on
+        # the [[288]] W=4 and [[144]] (5,2) sliding-window graphs
+        # (UNAVAILABLE restart); use ensemble_mode="host_loop" there
+        # (``gdg_ensemble_hostloop``), which runs this exact step function
+        # one compiled step at a time.
         _, carry = jax.lax.while_loop(
             lambda s: (s[0] < D_max) & jnp.any(~s[1][7]),
             lambda s: (s[0] + 1, step(s[0], s[1])),
@@ -315,26 +429,7 @@ def gdg_ensemble(
         )
     else:
         carry = jax.lax.fori_loop(0, D_max, step, carry)
-    (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
-     converged, conv_pm, conv_error, iters) = carry
-
-    # --- reduce over branches: min-pm among converged; main as fallback ----
-    conv_pm_b = conv_pm.reshape(BK, NB)
-    conv_err_b = conv_error.reshape(BK, NB, n)
-    converged_b = converged.reshape(BK, NB)
-    any_conv = jnp.any(converged_b, axis=1)
-    best = jnp.argmin(jnp.where(converged_b, conv_pm_b, MAX_PM), axis=1)
-    best_err = jnp.take_along_axis(conv_err_b, best[:, None, None], axis=1)[:, 0]
-    main_err = error.reshape(BK, NB, n)[:, 0]
-    final_err = jnp.where(any_conv[:, None], best_err, main_err)
-    best_pm = jnp.min(jnp.where(converged_b, conv_pm_b, MAX_PM), axis=1)
-    total_iters = jnp.sum(iters.reshape(BK, NB), axis=1)
-    return {
-        "error": final_err.astype(jnp.uint8),
-        "converged": any_conv,
-        "min_pm": best_pm,
-        "iterations": total_iters,
-    }
+    return _ensemble_reduce(carry, BK, NB)
 
 
 @partial(
@@ -643,6 +738,7 @@ class GDG:
         msg_dtype: str = "float32",
         multi_thread: bool = True,
         ensemble_early_exit: bool = False,
+        ensemble_mode: str = "fused",
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -660,6 +756,9 @@ class GDG:
         self.ensemble_bucket = int(ensemble_bucket)
         self.multi_thread = bool(multi_thread)
         self.ensemble_early_exit = bool(ensemble_early_exit)
+        if ensemble_mode not in ("fused", "host_loop"):
+            raise ValueError("ensemble_mode must be 'fused' or 'host_loop'")
+        self.ensemble_mode = ensemble_mode
         self.max_step = int(max_step)
         self.max_tree_depth = int(max_tree_depth)
         self.max_side_depth = int(max_side_depth)
@@ -691,6 +790,7 @@ class GDG:
             if k in ("flip_now", "reinit", "budget", "A", "A_sum")
         }
         self._core_jit = None
+        self._pre_jit = None
 
     def _shorten_state(self, synds, llr_sum):
         """Decide the most-reliable n - new_n columns to 0, then peel."""
@@ -716,6 +816,28 @@ class GDG:
         return vn_state, cn_state, cn_degree, dead
 
     def _run_ensemble(self, s, vn0, cn0, cd0, dead0):
+        if self.multi_thread and self.ensemble_mode == "host_loop":
+            return gdg_ensemble_hostloop(
+                self.garr,
+                self._llr_dev,
+                s,
+                vn0,
+                cn0,
+                cd0,
+                dead0,
+                self._tables["flip_now"],
+                self._tables["reinit"],
+                self._tables["budget"],
+                self._tables["A"],
+                self._tables["A_sum"],
+                num_iter=self.num_iter_per_step,
+                D_max=self.D_max,
+                NB=self.NB,
+                alpha=self.gdg_factor,
+                clip=self.clip,
+                low_error_mode=self.low_error_mode,
+                msg_dtype=self.msg_dtype,
+            )
         if self.multi_thread:
             return gdg_ensemble(
                 self.garr,
@@ -830,8 +952,78 @@ class GDG:
             "min_pm": min_pm,
         }
 
+    def _pre_order(self, synds):
+        """Pre-BP + the difficulty-sorted survivor order (host-core half)."""
+        synds = synds.astype(jnp.uint8)
+        pre = decode_bp(
+            self.garr,
+            self._llr_dev,
+            synds,
+            num_iter=self.max_iter,
+            alpha=self.alpha,
+            clip=self.clip,
+            msg_dtype=self.msg_dtype,
+        )
+        converged = pre["converged"]
+        error = pre["error"].astype(jnp.uint8)
+        min_pm = jnp.sum(
+            jnp.where(error == 1, self._llr_dev[None, :], 0.0), axis=-1
+        )
+        synd_weight = jnp.sum(synds, axis=1, dtype=jnp.int32)
+        key = converged.astype(jnp.int32) * jnp.int32(self.m + 2) + synd_weight
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        n_todo = jnp.sum((~converged).astype(jnp.int32))
+        return (error, converged, min_pm, pre["iterations"], pre["llr_sum"],
+                order, n_todo)
+
+    def _core_host(self, synds):
+        """Host-driven bucket walk (``ensemble_mode='host_loop'``): same
+        result as ``core`` but each ensemble step is its own compiled
+        program, sidestepping the fused-loop worker crash on large window
+        graphs and getting bucket early exit for free."""
+        import jax
+
+        from .bposd import _divisor_bucket
+
+        B = synds.shape[0]
+        if self._pre_jit is None:
+            self._pre_jit = jax.jit(self._pre_order)
+        (error, converged, min_pm, iters, llr_sum, order, n_todo) = (
+            self._pre_jit(synds)
+        )
+        synds = jnp.asarray(synds).astype(jnp.uint8)
+        n_todo = int(n_todo)
+        bucket = _divisor_bucket(B, self.ensemble_bucket)
+        b = 0
+        while b * bucket < n_todo:
+            idx = order[b * bucket : (b + 1) * bucket]
+            take = lambda a: jnp.take(a, idx, axis=0)
+            s = take(synds)
+            done_c = take(converged)
+            vn0, cn0, cd0, dead0 = self._shorten_state(s, take(llr_sum))
+            out = self._run_ensemble(s, vn0, cn0, cd0, dead0)
+            err_new = jnp.where(
+                done_c[:, None], take(error), out["error"].astype(jnp.uint8)
+            )
+            conv_new = done_c | out["converged"]
+            pm_new = jnp.where(done_c, take(min_pm), out["min_pm"])
+            it_new = take(iters) + jnp.where(done_c, 0, out["iterations"])
+            error = error.at[idx].set(err_new)
+            converged = converged.at[idx].set(conv_new)
+            min_pm = min_pm.at[idx].set(pm_new)
+            iters = iters.at[idx].set(it_new)
+            b += 1
+        return {
+            "error": error,
+            "converged": converged,
+            "iterations": iters,
+            "min_pm": min_pm,
+        }
+
     def decode_batch_device(self, synds):
-        """Jitted ``core``: one device program per batch shape."""
+        """Jitted ``core`` (fused mode) / host bucket walk (host_loop)."""
+        if self.multi_thread and self.ensemble_mode == "host_loop":
+            return self._core_host(jnp.asarray(synds))
         if self._core_jit is None:
             import jax
 

@@ -268,6 +268,7 @@ def sliding_window_gdg(
     last_win_gdg_factor: float = 1.0,
     last_win_bp_factor: float = 1.0,
     ensemble_bucket: int = 64,
+    ensemble_mode: str = "fused",
     msg_dtype: str = "float32",
     seed: int | None = None,
     verbose: bool = True,
@@ -305,6 +306,7 @@ def sliding_window_gdg(
             gdg_factor=last_win_gdg_factor if last else 1.0,
             low_error_mode=low_error_mode,
             ensemble_bucket=ensemble_bucket,
+            ensemble_mode=ensemble_mode,
             msg_dtype=msg_dtype,
         )
 

@@ -240,3 +240,28 @@ def test_gdg_bucket_size_invariance(bb72, rng):
     np.testing.assert_array_equal(res_16.converged, res_8.converged)
     np.testing.assert_array_equal(res_16.error, res_8.error)
     np.testing.assert_allclose(res_16.min_pm, res_8.min_pm, rtol=1e-5)
+
+
+def test_gdg_host_loop_mode_matches_fused(bb72, rng):
+    """ensemble_mode='host_loop' (one compiled program per decimation
+    step, host bucket walk) must reproduce the fused core exactly — it is
+    the decode path for the large window graphs whose fused program
+    crashes the TPU worker."""
+    p = 0.05
+    kw = dict(
+        max_iter=24, ms_scaling_factor=0.625, gdg_factor=0.625,
+        max_iter_per_step=6, max_step=40, max_tree_depth=3,
+        max_side_depth=10, max_tree_branch_step=20, max_side_branch_step=20,
+        new_n=bb72.N, low_error_mode=True, ensemble_bucket=16,
+    )
+    shots = 48
+    errs = (rng.random((shots, bb72.N)) < p).astype(np.uint8)
+    synds = (errs @ bb72.hx.T) % 2
+    res_f = GDG(bb72.hx, np.full(bb72.N, p), ensemble_mode="fused",
+                **kw).decode_batch(synds)
+    res_h = GDG(bb72.hx, np.full(bb72.N, p), ensemble_mode="host_loop",
+                **kw).decode_batch(synds)
+    np.testing.assert_array_equal(res_f.converged, res_h.converged)
+    np.testing.assert_array_equal(res_f.error, res_h.error)
+    np.testing.assert_allclose(res_f.min_pm, res_h.min_pm, rtol=1e-5)
+    np.testing.assert_array_equal(res_f.iterations, res_h.iterations)

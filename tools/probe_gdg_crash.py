@@ -38,7 +38,7 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="ensemble",
-                    choices=["bp", "ensemble", "core", "steps"])
+                    choices=["bp", "ensemble", "core", "steps", "hostcore"])
     ap.add_argument("--N", type=int, default=144)
     ap.add_argument("--r", type=int, default=12)
     ap.add_argument("--W", type=int, default=5)
@@ -104,6 +104,11 @@ def main():
         out = dec.decode_batch_device(jnp.asarray(synd))
         jax.block_until_ready(out["error"])
         log(f"core ok: converged {int(out['converged'].sum())}/{args.bucket}")
+    elif args.stage == "hostcore":
+        dec.ensemble_mode = "host_loop"
+        out = dec.decode_batch_device(jnp.asarray(synd))
+        jax.block_until_ready(out["error"])
+        log(f"hostcore ok: converged {int(out['converged'].sum())}/{args.bucket}")
     elif args.stage == "steps":
         # hand-rolled: one jitted program per ensemble *step*
         from slidingwindowdecoder_tpu.decoders import gdg as G

@@ -84,15 +84,17 @@ def run_gdg(name, shots, seed, *, N, p, r, W, F, max_iter=200,
             ref_shots=1, ref2=None, ensemble_bucket=None):
     from slidingwindowdecoder_tpu.harness.circuit_level import sliding_window_gdg
 
-    # The W>=4 window graphs crash the TPU worker at the default
-    # ensemble_bucket=64 (22 branch lanes x 64 shots); 16 keeps the fused
-    # step under the failing size. W=3 and code-capacity graphs are fine.
+    # The W>=4 window graphs crash the TPU worker in the FUSED ensemble
+    # (any bucket size, both loop forms); the host-stepped mode compiles
+    # one decimation step at a time and sidesteps it. W=3 and
+    # code-capacity graphs are fine fused.
+    mode = "host_loop" if W >= 4 else "fused"
     if ensemble_bucket is None:
-        ensemble_bucket = 16 if W >= 4 else 64
+        ensemble_bucket = 64
     res = sliding_window_gdg(
         N=N, p=p, num_repeat=r, num_shots=shots, max_iter=max_iter, W=W, F=F,
         last_win_osd=last_win_osd, low_error_mode=low_error_mode, seed=seed,
-        ensemble_bucket=ensemble_bucket, verbose=True,
+        ensemble_bucket=ensemble_bucket, ensemble_mode=mode, verbose=True,
     )
     extra = {"ler_per_round": res["ler_per_round"]}
     if last_win_osd and ref2 is not None:
