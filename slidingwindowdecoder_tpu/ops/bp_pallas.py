@@ -51,7 +51,10 @@ def _cn_kernel(mv_ref, valid_ref, parity_ref, mc_ref, *, dc, m_pad, alpha,
     for s in range(dc):
         v = valid_ref[s, :, :]  # [m_pad, 1] int8 static mask
         mvc = jnp.clip(mv_ref[s, :, :], dt.type(-clip), dt.type(clip))
-        valid = v > 0
+        # broadcast the int8 mask to lane width BEFORE comparing: Mosaic
+        # cannot relayout a lane-replicated i1 vector (HTTP-500 "Invalid
+        # relayout ... i1" on real TPU), but int8 broadcasts fine
+        valid = jnp.broadcast_to(v, (m_pad, Bc)) > 0
         a = jnp.where(valid, jnp.abs(mvc), big)
         neg = valid & (mvc <= 0)
         is_new = a < min1
@@ -65,7 +68,7 @@ def _cn_kernel(mv_ref, valid_ref, parity_ref, mc_ref, *, dc, m_pad, alpha,
     for s in range(dc):
         v = valid_ref[s, :, :]
         mvc = jnp.clip(mv_ref[s, :, :], dt.type(-clip), dt.type(clip))
-        valid = v > 0
+        valid = jnp.broadcast_to(v, (m_pad, Bc)) > 0
         a = jnp.where(valid, jnp.abs(mvc), big)
         neg = valid & (mvc <= 0)
         mag = jnp.where(a == min1, min2, min1)
