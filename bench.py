@@ -98,11 +98,12 @@ def main() -> None:
             spec.prior,
             max_iter=max_iter,
             ms_scaling_factor=1.0,
-            # round-2 sweep winner (docs/bench_r2_spans.json): phase-A 16,
-            # phase-B spans (48, 136) over 2048-buckets, OSD bucket 256
+            # round-2 sweep winner (docs/sweep_r2d.log): phase-A 16,
+            # phase-B spans (48, 136) over 1024-buckets, OSD bucket 256
+            # (1814.8 shots/s vs 1760.5 at bp_bucket=2048)
             osd_method="osd_cs",
             osd_order=osd_order,
-            bp_bucket=2048,
+            bp_bucket=1024,
             osd_bucket=256,
             phase_a_iters=None if args.smoke else 16,
             msg_dtype="bfloat16",
