@@ -364,7 +364,10 @@ def gdg_ensemble_hostloop(
             num_iter=num_iter, alpha=alpha, clip=clip,
             low_error_mode=low_error_mode, msg_dtype=msg_dtype,
         )
-        if bool(carry[7].all()):  # halted
+        # a row is finished when halted (converged / dead / no candidate)
+        # OR when its per-branch step budget is exhausted — budget-exhausted
+        # rows never set halted, they just go inactive
+        if bool(jnp.all(carry[7] | (d + 1 >= budget_row))):
             break
     return _ensemble_reduce(carry, BK, NB)
 
@@ -414,7 +417,7 @@ def gdg_ensemble(
 
     if early_exit:
         # while-form of fori(0, D_max): exits as soon as every branch row
-        # has halted (converged / dead / out of budget) — with
+        # has finished (halted, or its step budget is exhausted) — with
         # difficulty-sorted buckets most buckets stop well short of the
         # full step budget. NOTE on large windows: the fused program (in
         # BOTH loop forms, any ensemble_bucket) crashes the TPU worker on
@@ -423,7 +426,7 @@ def gdg_ensemble(
         # (``gdg_ensemble_hostloop``), which runs this exact step function
         # one compiled step at a time.
         _, carry = jax.lax.while_loop(
-            lambda s: (s[0] < D_max) & jnp.any(~s[1][7]),
+            lambda s: (s[0] < D_max) & jnp.any(~s[1][7] & (s[0] < budget_row)),
             lambda s: (s[0] + 1, step(s[0], s[1])),
             (jnp.int32(0), carry),
         )

@@ -111,6 +111,18 @@ DESCRIPTIONS = {
         "BP4+OSD-CS-10 [[882,24]] depolarizing p=0.1",
         "Misc.ipynb cell 2",
     ),
+    "shyps-window": (
+        "SHYPS r=3 window (W,F)=(3,1), p=0.001, r=4, BP+OSD-0",
+        "SHYPS.ipynb cell 2",
+    ),
+    "shyps-global": (
+        "SHYPS r=3 global, p=0.001, r=4, BP+OSD-0",
+        "SHYPS.ipynb cell 3",
+    ),
+    "sw-xbasis": (
+        "[[144]] SW BP+OSD W=3, p=0.004, x-basis (vs z-basis ref count)",
+        "build_circuit.py:6 z_basis=False",
+    ),
 }
 
 

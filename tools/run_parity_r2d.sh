@@ -28,4 +28,5 @@ run 1500 cc882-bpgd-all
 run 1500 cc882-bpgd-partial
 run 1800 cc882-gdg --shots 65536
 run 1500 cc-osd0 --shots 1900544
-echo "r2d campaign done $(date +%H:%M:%S)" >&2
+# the "done" marker goes to the file the sequel script greps, not stderr
+echo "r2d campaign done $(date +%H:%M:%S)" | tee -a docs/r2d_campaign.log >&2

@@ -15,10 +15,15 @@ print("probe:", float((x @ x).sum()))
 EOF
 }
 
+found=0
 for i in $(seq 1 1080); do
-  grep -q "r2d campaign done" docs/r2d_campaign.log 2>/dev/null && break
+  grep -q "r2d campaign done" docs/r2d_campaign.log 2>/dev/null && { found=1; break; }
   sleep 10
 done
+if [ "$found" -ne 1 ]; then
+  echo "campaign-done marker never appeared; aborting (chip may still be busy)"
+  exit 1
+fi
 echo "campaign done; probing chip $(date +%H:%M:%S)"
 sleep 30
 if ! probe; then

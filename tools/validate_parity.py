@@ -50,7 +50,7 @@ def _verdict(name, fails, shots, ref_fails, ref_shots, seconds, extra=None):
 
 
 def run_sw(name, shots, seed, *, N, p, r, W, F, shorten=False, max_iter=200,
-           ref_fails=0, ref_shots=1):
+           z_basis=True, ref_fails=0, ref_shots=1):
     from slidingwindowdecoder_tpu.harness.circuit_level import (
         sliding_window_decoder,
     )
@@ -58,7 +58,7 @@ def run_sw(name, shots, seed, *, N, p, r, W, F, shorten=False, max_iter=200,
     res = sliding_window_decoder(
         N=N, p=p, num_repeat=r, num_shots=shots, max_iter=max_iter, W=W, F=F,
         method=1, shorten=shorten, osd_method="osd_cs", osd_order=10,
-        seed=seed, verbose=True,
+        z_basis=z_basis, seed=seed, verbose=True,
     )
     return _verdict(name, res["num_failed"], shots, ref_fails, ref_shots,
                     res["decode_seconds"],
@@ -81,7 +81,7 @@ def run_global(name, shots, seed, *, N, p, r, shorten=False, max_iter=200,
 
 def run_gdg(name, shots, seed, *, N, p, r, W, F, max_iter=200,
             last_win_osd=False, low_error_mode=False, ref_fails=0,
-            ref_shots=1, ref2=None, ensemble_bucket=None):
+            ref_shots=1, ref2=None, ensemble_bucket=None, gdg_kwargs=None):
     from slidingwindowdecoder_tpu.harness.circuit_level import sliding_window_gdg
 
     # The W>=4 window graphs crash the TPU worker in the FUSED ensemble
@@ -95,6 +95,7 @@ def run_gdg(name, shots, seed, *, N, p, r, W, F, max_iter=200,
         N=N, p=p, num_repeat=r, num_shots=shots, max_iter=max_iter, W=W, F=F,
         last_win_osd=last_win_osd, low_error_mode=low_error_mode, seed=seed,
         ensemble_bucket=ensemble_bucket, ensemble_mode=mode, verbose=True,
+        **(gdg_kwargs or {}),
     )
     extra = {"ler_per_round": res["ler_per_round"]}
     if last_win_osd and ref2 is not None:
@@ -193,6 +194,22 @@ def run_camel(name, shots, seed, *, ref):
                     time.perf_counter() - t0)
 
 
+def run_shyps(name, shots, seed, *, window, ref_ler_round, ref_shots):
+    """SHYPS.ipynb cells 2-3: r=3 simplex SHYPS, p=0.001, 4 rounds,
+    BP+OSD-0 (max_iter=1000); window (W,F)=(3,1) vs global."""
+    from slidingwindowdecoder_tpu.harness.shyps import decode_shyps
+
+    t0 = time.perf_counter()
+    res = decode_shyps(
+        r=3, p=0.001, num_repeat=4, num_shots=shots, max_iter=1000,
+        osd_order=0, window=window, W=3, F=1, seed=seed, verbose=True,
+    )
+    ref_fails = round((1 - (1 - ref_ler_round) ** 4) * ref_shots)
+    return _verdict(name, res["num_failed"], shots, ref_fails, ref_shots,
+                    time.perf_counter() - t0,
+                    {"ler_per_round": res["ler_per_round"]})
+
+
 def run_phenom(name, shots, seed, *, N, p, p_synd, which, ref):
     from slidingwindowdecoder_tpu.codes import bb_code_by_n
     from slidingwindowdecoder_tpu.decoders import BPOSD, GDG
@@ -272,20 +289,32 @@ CONFIGS = {
     "global-144-shortened": lambda shots, seed: run_global(
         "global-144-shortened", shots or 16384, seed, N=144, p=0.004, r=12,
         shorten=True, ref_fails=90, ref_shots=10000),
-    # BASELINE row 12: [[288]] (4,1) GDG p=0.005 (LER/r 2.0e-3, r=18)
+    # BASELINE row 12: [[288]] (4,1) GDG p=0.005 (LER/r 2.0e-3, r=18).
+    # SW GDG.ipynb cell f83f0070 p=0.005 line: max_iter=16, max_step=60,
+    # tree 4 / side 20, side_branch_step 40 (and guessing.py:105 passes
+    # max_tree_branch_step=max_side_branch_step), low_error_mode False.
     "gdg-288-41": lambda shots, seed: run_gdg(
         "gdg-288-41", shots or 8192, seed, N=288, p=0.005, r=18, W=4, F=1,
-        max_iter=8,
+        max_iter=16,
+        gdg_kwargs=dict(max_step=60, max_tree_depth=4, max_side_depth=20,
+                        max_tree_branch_step=40, max_side_branch_step=40),
         ref_fails=round((1 - (1 - 2.0e-3) ** 18) * 5000), ref_shots=5000),
-    # BASELINE row 13: [[144]] (5,2) GDG p=0.005 (LER/r 3.18e-3, r=12)
+    # BASELINE row 13: [[144]] (5,2) GDG p=0.005 (LER/r 3.18e-3, r=12).
+    # Cell d9a942ed: max_iter=8, max_step=40, tree 4 / side 20,
+    # side_branch_step 20 (tree_branch_step likewise, guessing.py:105).
     "gdg-144-52": lambda shots, seed: run_gdg(
         "gdg-144-52", shots or 8192, seed, N=144, p=0.005, r=12, W=5, F=2,
         max_iter=8,
+        gdg_kwargs=dict(max_step=40, max_tree_depth=4, max_side_depth=20,
+                        max_tree_branch_step=20, max_side_branch_step=20),
         ref_fails=round((1 - (1 - 3.18e-3) ** 12) * 5000), ref_shots=5000),
-    # BASELINE row 14: [[288]] W=4 r=6 p=0.005 GDG vs +last-window OSD
+    # BASELINE row 14: [[288]] W=4 r=6 p=0.005 GDG vs +last-window OSD.
+    # Cell ccb3047b: same ensemble params as f83f0070's p=0.005 line.
     "gdg-last-osd": lambda shots, seed: run_gdg(
         "gdg-last-osd", shots or 8192, seed, N=288, p=0.005, r=6, W=4, F=1,
-        max_iter=8, last_win_osd=True,
+        max_iter=16, last_win_osd=True,
+        gdg_kwargs=dict(max_step=60, max_tree_depth=4, max_side_depth=20,
+                        max_tree_branch_step=40, max_side_branch_step=40),
         ref_fails=round((1 - (1 - 1.14e-3) ** 6) * 20000), ref_shots=20000,
         ref2=(round((1 - (1 - 7.10e-4) ** 6) * 20000), 20000)),
     # BASELINE row 6: [[144]] p=0.003 W=3/4/5 (LER/r 2.93e-4/1.33e-4/9.92e-5)
@@ -339,6 +368,21 @@ CONFIGS = {
     # Misc.ipynb cell 8: CAMEL [[362,36,20]] depolarizing p=0.02 (26/1e5)
     "camel-362": lambda shots, seed: run_camel(
         "camel-362", shots or 32768, seed, ref=(26, 100_000)),
+    # BASELINE row 19: SHYPS r=3, p=0.001, r=4 (SHYPS.ipynb cells 2-3):
+    # window LER/r 2.13e-3 vs global 2.35e-3, BP+OSD-0, 2e4 shots each
+    "shyps-window": lambda shots, seed: run_shyps(
+        "shyps-window", shots or 16384, seed, window=True,
+        ref_ler_round=2.13e-3, ref_shots=20000),
+    "shyps-global": lambda shots, seed: run_shyps(
+        "shyps-global", shots or 16384, seed, window=False,
+        ref_ler_round=2.35e-3, ref_shots=20000),
+    # x-basis [[144]] W=3 p=0.004 (build_circuit.py:6 z_basis=False):
+    # no committed reference number; the BB [[144,12,12]] X/Z memories have
+    # statistically equal LER (IBM paper Fig.3 shows one curve), so accept
+    # against the z-basis row 1 count (254/1e4)
+    "sw-xbasis": lambda shots, seed: run_sw(
+        "sw-xbasis", shots or 16384, seed, N=144, p=0.004, r=12, W=3, F=1,
+        z_basis=False, ref_fails=254, ref_shots=10000),
     # BASELINE row 16: phenomenological [[288]] p=0.03, p_synd=1e-3
     "phenom-osd": lambda shots, seed: run_phenom(
         "phenom-osd", shots or 65536, seed, N=288, p=0.03, p_synd=1e-3,
