@@ -115,6 +115,7 @@ def _select_and_decimate(
     *,
     low_error_mode: bool,
     vn_deg,
+    synd_hat=None,  # decoded syndrome of `error`, if the caller has it
 ):
     """The reference ``select_vn`` scan (bpgd.cpp:288-351 == pyx:340-442):
     aggressive C/D/A decimation applied at once + peel, then the guess
@@ -135,7 +136,9 @@ def _select_and_decimate(
         mD = jnp.zeros_like(eligible)
         mA = jnp.zeros_like(eligible)
     else:
-        num_flip = unsatisfied_counts(garr, error, synd, cn_state)
+        num_flip = unsatisfied_counts(
+            garr, error, synd, cn_state, synd_hat=synd_hat
+        )
         mC = eligible & (hist_min >= C_thr) & c_allowed[:, None]
         mD = eligible & ~mC & (num_flip >= 3) & (hist_min >= D_thr)
         mA = (
@@ -228,10 +231,10 @@ def _ensemble_step(
     active = ~halted & (d < budget_row)
 
     # --- masked BP (num_iter iterations, early per-row freeze) ---------
-    mv, history, error, bp_done, iters = bp_run(
+    mv, history, error, bp_done, iters, synd_hat = bp_run(
         garr, mv, llr_b, synd, vn_state, cn_state, history, error,
         ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
-        msg_dtype=msg_dtype,
+        msg_dtype=msg_dtype, return_synd=True,
     )
     newly_conv = bp_done & active
     pm = jnp.sum(llr_b * (error == 1), axis=-1)
@@ -267,6 +270,7 @@ def _ensemble_step(
         jnp.broadcast_to(d < 4, active.shape),
         low_error_mode=low_error_mode,
         vn_deg=garr["vn_degree"],
+        synd_hat=synd_hat,
     )
 
     # no candidate -> branch ends (reference guess_vn == -1 break)
@@ -433,6 +437,112 @@ def gdg_ensemble(
     else:
         carry = jax.lax.fori_loop(0, D_max, step, carry)
     return _ensemble_reduce(carry, BK, NB)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_iter", "NB", "alpha", "clip", "low_error_mode",
+                     "msg_dtype", "spans", "row_bucket"),
+)
+def gdg_ensemble_spans(
+    garr,
+    llr,
+    syndrome,  # [BK, m]
+    vn_state0,
+    cn_state0,
+    cn_degree0,
+    dead0,
+    flip_now,
+    reinit,
+    budget,
+    A_arr,
+    Asum_arr,
+    *,
+    num_iter: int,
+    NB: int,
+    alpha: float,
+    clip: float,
+    low_error_mode: bool,
+    msg_dtype: str = "float32",
+    spans: tuple = (),
+    row_bucket: int = 2048,
+):
+    """Span-compacted ensemble: the same ``_ensemble_step`` as the fused
+    form, but the depth loop is cut into static ``spans`` with a ROW-level
+    re-compaction between spans — rows (shot × branch lanes) are sorted
+    unfinished-first and only the buckets covering unfinished rows are
+    stepped, so halted / budget-exhausted lanes stop consuming BP
+    bandwidth. On the [[144]] W=3 window graphs only ~45% of row-steps are
+    active under the fused fori(D_max) loop (tools/probe_gdg_steps.py), so
+    compaction roughly halves the ensemble's HBM traffic at a ~6%
+    gather/scatter cost per span.
+
+    Results are identical to ``gdg_ensemble``: boundary buckets may
+    straddle finished rows, whose state the step function freezes
+    (``active = ~halted & (d < budget_row)``)."""
+    from .bposd import _divisor_bucket
+
+    BK, m = syndrome.shape
+    carry, synd, llr_b, branch_of_row = _ensemble_init(
+        garr, llr, syndrome, vn_state0, cn_state0, cn_degree0, dead0, NB
+    )
+    budget_row = budget[branch_of_row]
+    BN = BK * NB
+    bucket = _divisor_bucket(BN, row_bucket)
+    n = garr["vn_valid"].shape[0]
+    llr_c = jnp.broadcast_to(llr, (bucket, n))  # rows share the prior
+
+    d0 = 0
+    for sp in spans:
+        finished = carry[7] | (d0 >= budget_row)
+        order = jnp.argsort(finished, stable=True).astype(jnp.int32)
+        n_todo = jnp.sum((~finished).astype(jnp.int32))
+
+        def body(state, d0=d0, sp=sp, order=order):
+            b, carry = state
+            idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
+            take = lambda a: jnp.take(a, idx, axis=0)
+            sub = tuple(take(a) for a in carry)
+            synd_c = take(synd)
+            bor_c = take(branch_of_row)
+            bud_c = take(budget_row)
+            for dd in range(sp):
+                sub = _ensemble_step(
+                    garr, llr_c, synd_c, bor_c, bud_c, flip_now, reinit,
+                    A_arr, Asum_arr, jnp.int32(d0 + dd), sub,
+                    num_iter=num_iter, alpha=alpha, clip=clip,
+                    low_error_mode=low_error_mode, msg_dtype=msg_dtype,
+                )
+            carry = tuple(a.at[idx].set(s) for a, s in zip(carry, sub))
+            return (b + 1, carry)
+
+        _, carry = jax.lax.while_loop(
+            lambda s: s[0] * bucket < n_todo, body, (jnp.int32(0), carry)
+        )
+        d0 += sp
+    return _ensemble_reduce(carry, BK, NB)
+
+
+def default_spans(D_max: int, budgets, span: int = 4) -> tuple:
+    """Static span schedule: compaction every ``span`` steps, plus an extra
+    boundary at each branch-budget cliff where a significant lane fraction
+    (>= 1/8 of the ensemble) goes inactive at once. Tiny cliffs (individual
+    side lanes, each with its own budget) are not worth a compaction pass
+    — every span adds a gather/scatter of the full row state and its own
+    unrolled program to compile."""
+    budgets = [int(b) for b in budgets]
+    nb = max(len(budgets), 1)
+    counts = {}
+    for b in budgets:
+        counts[b] = counts.get(b, 0) + 1
+    cliffs = {b for b, c in counts.items() if 0 < b < D_max and c * 8 >= nb}
+    bounds = sorted(set(range(span, D_max, span)) | cliffs | {D_max})
+    spans, prev = [], 0
+    for b in bounds:
+        if b > prev:
+            spans.append(b - prev)
+            prev = b
+    return tuple(spans)
 
 
 @partial(
@@ -742,6 +852,8 @@ class GDG:
         multi_thread: bool = True,
         ensemble_early_exit: bool = False,
         ensemble_mode: str = "fused",
+        ensemble_spans=None,
+        row_bucket: int = 2048,
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -759,9 +871,13 @@ class GDG:
         self.ensemble_bucket = int(ensemble_bucket)
         self.multi_thread = bool(multi_thread)
         self.ensemble_early_exit = bool(ensemble_early_exit)
-        if ensemble_mode not in ("fused", "host_loop"):
-            raise ValueError("ensemble_mode must be 'fused' or 'host_loop'")
+        if ensemble_mode not in ("fused", "host_loop", "spans"):
+            raise ValueError(
+                "ensemble_mode must be 'fused', 'host_loop' or 'spans'"
+            )
         self.ensemble_mode = ensemble_mode
+        self.row_bucket = int(row_bucket)
+        self._ensemble_spans = ensemble_spans
         self.max_step = int(max_step)
         self.max_tree_depth = int(max_tree_depth)
         self.max_side_depth = int(max_side_depth)
@@ -794,6 +910,16 @@ class GDG:
         }
         self._core_jit = None
         self._pre_jit = None
+        if self._ensemble_spans is None:
+            self.ensemble_spans = default_spans(
+                self.D_max, tables["budget"].tolist()
+            )
+        else:
+            self.ensemble_spans = tuple(int(s) for s in self._ensemble_spans)
+            if sum(self.ensemble_spans) != self.D_max:
+                raise ValueError(
+                    f"ensemble_spans must sum to D_max={self.D_max}"
+                )
 
     def _shorten_state(self, synds, llr_sum):
         """Decide the most-reliable n - new_n columns to 0, then peel."""
@@ -819,6 +945,29 @@ class GDG:
         return vn_state, cn_state, cn_degree, dead
 
     def _run_ensemble(self, s, vn0, cn0, cd0, dead0):
+        if self.multi_thread and self.ensemble_mode == "spans":
+            return gdg_ensemble_spans(
+                self.garr,
+                self._llr_dev,
+                s,
+                vn0,
+                cn0,
+                cd0,
+                dead0,
+                self._tables["flip_now"],
+                self._tables["reinit"],
+                self._tables["budget"],
+                self._tables["A"],
+                self._tables["A_sum"],
+                num_iter=self.num_iter_per_step,
+                NB=self.NB,
+                alpha=self.gdg_factor,
+                clip=self.clip,
+                low_error_mode=self.low_error_mode,
+                msg_dtype=self.msg_dtype,
+                spans=self.ensemble_spans,
+                row_bucket=self.row_bucket,
+            )
         if self.multi_thread and self.ensemble_mode == "host_loop":
             return gdg_ensemble_hostloop(
                 self.garr,

@@ -125,6 +125,7 @@ def check_syndrome(garr, error):
         "history_mode",
         "posterior_matmul",
         "cn_engine",
+        "return_synd",
     ),
 )
 def bp_run(
@@ -148,6 +149,7 @@ def bp_run(
     history_mode: str = "full",
     posterior_matmul: bool = False,
     cn_engine: str = "xla",
+    return_synd: bool = False,
 ):
     """Run up to ``num_iter`` BP iterations with per-shot convergence freeze.
 
@@ -271,12 +273,12 @@ def bp_run(
         else:
             err_new = hard.astype(jnp.int8)
         conv = jnp.all(synd_odd == syndrome_odd, axis=0)
-        return mv_new, posterior, err_new, conv
+        return mv_new, posterior, err_new, conv, synd_odd
 
     def body(with_history):
         def _body(state):
-            i, mv_sm, hist, err, done, iters = state
-            mv_new, posterior, err_new, conv = iteration(mv_sm)
+            i, mv_sm, hist, err, done, iters, sodd = state
+            mv_new, posterior, err_new, conv, synd_odd = iteration(mv_sm)
             active = ~done  # shots still iterating at the START of this iter
             if freeze_messages:
                 mv_sm = jnp.where(active[None, None, :], mv_new, mv_sm)
@@ -289,9 +291,11 @@ def bp_run(
                 hist_mask = (active[None, :] & vn_undecided)[:, None, :] & slot_hot
                 hist = jnp.where(hist_mask, posterior[:, None, :], hist)
             err = jnp.where(active[None, :], err_new, err)
+            if return_synd:
+                sodd = jnp.where(active[None, :], synd_odd, sodd)
             iters = iters + active.astype(jnp.int32)
             done = done | conv
-            return (i + 1, mv_sm, hist, err, done, iters)
+            return (i + 1, mv_sm, hist, err, done, iters, sodd)
 
         return _body
 
@@ -301,7 +305,10 @@ def bp_run(
 
         return jax.lax.while_loop(cond, body(with_history), state)
 
-    state = (jnp.int32(0), mv_sm, hist_t, err_t, done, iters)
+    # rows already done at entry keep the target syndrome (correct: their
+    # decoded syndrome matches); rows stepped at least once get the decoded
+    # parity of their last executed iteration
+    state = (jnp.int32(0), mv_sm, hist_t, err_t, done, iters, syndrome_odd)
     if history_mode == "tail" and num_iter > 4:
         state = run_span(state, num_iter - 4, with_history=False)
         state = run_span(state, num_iter, with_history=True)
@@ -311,16 +318,19 @@ def bp_run(
         state = run_span(state, num_iter, with_history=False)
     else:
         raise ValueError(f"unknown history_mode {history_mode!r}")
-    _, mv_sm, hist_t, err_t, done, iters = state
+    _, mv_sm, hist_t, err_t, done, iters, sodd = state
 
     mv_out = jnp.transpose(mv_sm[:, :m, :], (2, 1, 0)).astype(jnp.float32)
-    return (
+    out = (
         mv_out,
         jnp.transpose(hist_t, (2, 0, 1)),
         err_t.T,
         done,
         iters,
     )
+    if return_synd:
+        return out + (sodd[:m].T.astype(jnp.int8),)
+    return out
 
 
 def fresh_bp_state(garr, batch: int):

@@ -55,13 +55,16 @@ def vn_set_values(garr, vn_state, cn_state, cn_degree, dead, set_mask, values):
 
     vn_state = jnp.where(newly, values, vn_state)
 
-    pad = lambda x: jnp.pad(x, ((0, 0), (0, 1)))
-    newly_e = pad(newly.astype(jnp.int32))[:, cn_vn] * cn_valid[None]
-    val_e = pad((newly & (values == 1)).astype(jnp.int32))[:, cn_vn] * cn_valid[None]
+    # one int8 edge gather encodes both "newly decided" (bit 0+) and the
+    # decided value: 0 = untouched, 1 = set to 0, 2 = set to 1
+    enc = newly.astype(jnp.int8) + (newly & (values == 1)).astype(jnp.int8)
+    enc_e = jnp.pad(enc, ((0, 0), (0, 1)))[:, cn_vn] * cn_valid[None].astype(
+        jnp.int8
+    )
 
     active = cn_state != -1
-    delta_deg = jnp.sum(newly_e, axis=-1)
-    parity_flip = jnp.sum(val_e, axis=-1) % 2
+    delta_deg = jnp.sum((enc_e != 0).astype(jnp.int32), axis=-1)
+    parity_flip = jnp.sum((enc_e == 2).astype(jnp.int32), axis=-1) % 2
     new_degree = cn_degree - delta_deg
     new_parity = jnp.where(active, cn_state ^ parity_flip.astype(jnp.int8), cn_state)
 
@@ -87,14 +90,18 @@ def peel(garr, vn_state, cn_state, cn_degree, dead, max_sweeps: int | None = Non
     def sweep(state):
         vn_state, cn_state, cn_degree, dead, _ = state
         deg1 = (cn_state != -1) & (cn_degree == 1)
-        pad_cn = lambda x: jnp.pad(x, ((0, 0), (0, 1)))
         # from the VN side: an undecided VN adjacent to a degree-1 active CN
-        # is that CN's unique undecided neighbor
-        deg1_e = pad_cn(deg1)[:, vn_cn] & vn_valid[None]
-        parity_e = pad_cn((cn_state == 1))[:, vn_cn] & vn_valid[None]
+        # is that CN's unique undecided neighbor. One int8 gather encodes
+        # both facts: 0 = not forcing, 1 = deg-1 parity 0, 2 = deg-1 parity 1
+        code = deg1.astype(jnp.int8) + (deg1 & (cn_state == 1)).astype(
+            jnp.int8
+        )
+        code_e = jnp.pad(code, ((0, 0), (0, 1)))[:, vn_cn] * vn_valid[
+            None
+        ].astype(jnp.int8)
         undecided = (vn_state == -1)[:, :, None]
-        force1 = jnp.any(deg1_e & parity_e & undecided, axis=-1)
-        force0 = jnp.any(deg1_e & ~parity_e & undecided, axis=-1)
+        force1 = jnp.any((code_e == 2) & undecided, axis=-1)
+        force0 = jnp.any((code_e == 1) & undecided, axis=-1)
         dead = dead | jnp.any(force0 & force1, axis=-1)
         forced = (force0 ^ force1) & (vn_state == -1)
         vn_state, cn_state, cn_degree, dead = vn_set_values(
@@ -122,13 +129,22 @@ def peel(garr, vn_state, cn_state, cn_degree, dead, max_sweeps: int | None = Non
     return vn_state, cn_state, cn_degree, dead
 
 
-def unsatisfied_counts(garr, error, syndrome, cn_state):
+def unsatisfied_counts(garr, error, syndrome, cn_state, synd_hat=None):
     """Per-VN count of adjacent active checks whose decoded syndrome bit
-    disagrees with the target (``num_flip`` in bpgd.cpp:296-309)."""
+    disagrees with the target (``num_flip`` in bpgd.cpp:296-309).
+
+    ``synd_hat`` (the decoded syndrome of ``error``) may be supplied when
+    the caller already has it — ``bp_run(..., return_synd=True)`` computes
+    it for free — saving the [B, m, dc] re-gather."""
     from .bp import check_syndrome
 
-    synd_hat = check_syndrome(garr, error)
+    if synd_hat is None:
+        synd_hat = check_syndrome(garr, error)
+    synd_hat = synd_hat.astype(jnp.int32)
     unsat = (synd_hat != syndrome.astype(jnp.int32)) & (cn_state != -1)
+    unsat8 = unsat.astype(jnp.int8)
     pad_cn = lambda x: jnp.pad(x, ((0, 0), (0, 1)))
-    unsat_e = pad_cn(unsat)[:, garr["vn_cn"]] & garr["vn_valid"][None]
+    unsat_e = pad_cn(unsat8)[:, garr["vn_cn"]] * garr["vn_valid"][None].astype(
+        jnp.int8
+    )
     return jnp.sum(unsat_e.astype(jnp.int32), axis=-1)

@@ -265,3 +265,27 @@ def test_gdg_host_loop_mode_matches_fused(bb72, rng):
     np.testing.assert_array_equal(res_f.error, res_h.error)
     np.testing.assert_allclose(res_f.min_pm, res_h.min_pm, rtol=1e-5)
     np.testing.assert_array_equal(res_f.iterations, res_h.iterations)
+
+
+def test_gdg_spans_mode_matches_fused(bb72, rng):
+    """ensemble_mode='spans' (row-level compaction between static depth
+    spans) must reproduce the fused core exactly: boundary buckets freeze
+    finished rows, so compaction is purely a scheduling change."""
+    p = 0.05
+    kw = dict(
+        max_iter=24, ms_scaling_factor=0.625, gdg_factor=0.625,
+        max_iter_per_step=6, max_step=40, max_tree_depth=3,
+        max_side_depth=10, max_tree_branch_step=20, max_side_branch_step=20,
+        new_n=bb72.N, low_error_mode=True, ensemble_bucket=16,
+    )
+    shots = 48
+    errs = (rng.random((shots, bb72.N)) < p).astype(np.uint8)
+    synds = (errs @ bb72.hx.T) % 2
+    res_f = GDG(bb72.hx, np.full(bb72.N, p), ensemble_mode="fused",
+                **kw).decode_batch(synds)
+    res_s = GDG(bb72.hx, np.full(bb72.N, p), ensemble_mode="spans",
+                row_bucket=96, **kw).decode_batch(synds)
+    np.testing.assert_array_equal(res_f.converged, res_s.converged)
+    np.testing.assert_array_equal(res_f.error, res_s.error)
+    np.testing.assert_allclose(res_f.min_pm, res_s.min_pm, rtol=1e-5)
+    np.testing.assert_array_equal(res_f.iterations, res_s.iterations)

@@ -24,7 +24,9 @@ run() {
 run 1800 shyps-window --shots 16384
 run 1800 shyps-global --shots 16384
 run 1800 sw-xbasis --shots 16384
-run 3600 gdg-288-41 --shots 8192
-run 3600 gdg-144-52 --shots 8192
-run 4500 gdg-last-osd --shots 8192
+# W>=4 GDG rows (ensemble_mode=spans): 4096 shots is ample for the 3-sigma
+# test (expected fails ~150/150/28 per the reference rates)
+run 5400 gdg-288-41 --shots 4096
+run 5400 gdg-144-52 --shots 4096
+run 5400 gdg-last-osd --shots 4096
 echo "r3a campaign done $(date +%H:%M:%S)" | tee -a "$STATUS" >&2

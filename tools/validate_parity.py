@@ -85,12 +85,13 @@ def run_gdg(name, shots, seed, *, N, p, r, W, F, max_iter=200,
     from slidingwindowdecoder_tpu.harness.circuit_level import sliding_window_gdg
 
     # The W>=4 window graphs crash the TPU worker in the FUSED ensemble
-    # (any bucket size, both loop forms); the host-stepped mode compiles
-    # one decimation step at a time and sidesteps it. W=3 and
-    # code-capacity graphs are fine fused.
-    mode = "host_loop" if W >= 4 else "fused"
+    # (any bucket size, both loop forms); the span-compacted mode is a
+    # restructured program that survives there (tools/probe_gdg_w4_spans.py:
+    # bit-identical to host_loop and ~6x faster). W=3 and code-capacity
+    # graphs are fine fused.
+    mode = "spans" if W >= 4 else "fused"
     if ensemble_bucket is None:
-        ensemble_bucket = 64
+        ensemble_bucket = 256 if W >= 4 else 64
     res = sliding_window_gdg(
         N=N, p=p, num_repeat=r, num_shots=shots, max_iter=max_iter, W=W, F=F,
         last_win_osd=last_win_osd, low_error_mode=low_error_mode, seed=seed,
