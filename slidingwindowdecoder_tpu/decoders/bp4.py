@@ -28,7 +28,7 @@ from ..ops.gf2_solve import (
     osd_decode,
     pack_rows_host,
 )
-from .base import DecodeResult, pad_pow2
+from .base import DecodeResult
 
 
 class BP4OSD:
@@ -113,6 +113,7 @@ class BP4OSD:
         self._llr_dev = tuple(
             jnp.asarray(v) for v in (self.llr_x, self.llr_y, self.llr_z)
         )
+        self._core_jit = None
 
     # ------------------------------------------------------------------
 
@@ -142,40 +143,46 @@ class BP4OSD:
             clip=self.clip,
         )
 
-    def decode_batch(self, syndromes_x, syndromes_z) -> DecodeResult:
-        """Decode; returns DecodeResult with error = [B, 2, n] (x, z)."""
-        synds_x = np.atleast_2d(np.asarray(syndromes_x, dtype=np.uint8))
-        synds_z = np.atleast_2d(np.asarray(syndromes_z, dtype=np.uint8))
+    def core(self, synds_x, synds_z):
+        """Pure device-side decode: traceable under jit / shard_map, no
+        host syncs. Unconverged shots are compacted to the front and the
+        per-basis OSD runs over fixed-shape buckets (same scheme as
+        BPOSD.core). Returns error [B, 2, n] (x, z)."""
+        import jax
+
+        from .bposd import _divisor_bucket
+
         B = synds_x.shape[0]
+        sx = synds_x.astype(jnp.uint8)
+        sz = synds_z.astype(jnp.uint8)
         vn_state = jnp.full((B, self.n), -1, jnp.int8)
-        sx = jnp.asarray(synds_x)
-        sz = jnp.asarray(synds_z)
         (mvx, mvz, lprx, lpry, lprz, ex, ez, done, iters) = self._run_bp4(
             sx, sz, vn_state, sx, sz
         )
-        conv = np.asarray(done)
-        err_x = np.asarray(ex).astype(np.uint8)
-        err_z = np.asarray(ez).astype(np.uint8)
+        err_x = ex.astype(jnp.uint8)
+        err_z = ez.astype(jnp.uint8)
 
-        todo = np.nonzero(~conv)[0]
-        if self.osd_method is not None and len(todo):
-            lprx_h = np.asarray(lprx)
-            lpry_h = np.asarray(lpry)
-            lprz_h = np.asarray(lprz)
-            bucket = min(self.osd_bucket, pad_pow2(len(todo)))
-            for lo in range(0, len(todo), bucket):
-                chunk = todo[lo : lo + bucket]
-                idx = np.full(bucket, int(chunk[0]), dtype=np.int64)
-                idx[: len(chunk)] = chunk
+        if self.osd_method is not None:
+            bucket = _divisor_bucket(B, self.osd_bucket)
+            order = jnp.argsort(done.astype(jnp.int32), stable=True).astype(
+                jnp.int32
+            )
+            n_todo = jnp.sum((~done).astype(jnp.int32))
+
+            def body(carry):
+                b, err_x, err_z = carry
+                idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
+                take = lambda a: jnp.take(a, idx, axis=0)
+                lprx_c, lpry_c, lprz_c = take(lprx), take(lpry), take(lprz)
                 # basis x: Hx e_z = synd_x, ranked by Z-component posterior
                 rel_x = (
-                    np.logaddexp(0.0, -lprx_h[idx])
-                    - np.logaddexp(-lpry_h[idx], -lprz_h[idx])
-                ).astype(np.float32)
+                    jnp.logaddexp(0.0, -lprx_c)
+                    - jnp.logaddexp(-lpry_c, -lprz_c)
+                ).astype(jnp.float32)
                 out_x = osd_decode(
                     self.Hx_words,
-                    jnp.asarray(synds_x[idx]),
-                    jnp.asarray(rel_x),
+                    take(sx),
+                    rel_x,
                     jnp.asarray(self.prior_llr_hx),
                     self.pats_x,
                     m=self.mx,
@@ -186,13 +193,13 @@ class BP4OSD:
                 )
                 # basis z: Hz e_x = synd_z, ranked by X-component posterior
                 rel_z = (
-                    np.logaddexp(0.0, -lprz_h[idx])
-                    - np.logaddexp(-lpry_h[idx], -lprx_h[idx])
-                ).astype(np.float32)
+                    jnp.logaddexp(0.0, -lprz_c)
+                    - jnp.logaddexp(-lpry_c, -lprx_c)
+                ).astype(jnp.float32)
                 out_z = osd_decode(
                     self.Hz_words,
-                    jnp.asarray(synds_z[idx]),
-                    jnp.asarray(rel_z),
+                    take(sz),
+                    rel_z,
                     jnp.asarray(self.prior_llr_hz),
                     self.pats_z,
                     m=self.mz,
@@ -201,16 +208,56 @@ class BP4OSD:
                     k=self.kz,
                     meta=self._meta_z,
                 )
-                err_z[chunk] = np.asarray(out_x["solution"])[: len(chunk)]
-                err_x[chunk] = np.asarray(out_z["solution"])[: len(chunk)]
+                # boundary buckets may straddle converged shots: keep theirs
+                done_c = take(done)
+                ex_new = jnp.where(
+                    done_c[:, None], take(err_x),
+                    out_z["solution"].astype(jnp.uint8),
+                )
+                ez_new = jnp.where(
+                    done_c[:, None], take(err_z),
+                    out_x["solution"].astype(jnp.uint8),
+                )
+                return (
+                    b + 1,
+                    err_x.at[idx].set(ex_new),
+                    err_z.at[idx].set(ez_new),
+                )
 
-        error = np.stack([err_x, err_z], axis=1)  # [B, 2, n]
+            _, err_x, err_z = jax.lax.while_loop(
+                lambda c: c[0] * bucket < n_todo,
+                body,
+                (jnp.int32(0), err_x, err_z),
+            )
+
+        error = jnp.stack([err_x, err_z], axis=1)  # [B, 2, n]
         min_pm = self._cal_pm(err_x, err_z)
+        return {
+            "error": error,
+            "converged": done,
+            "iterations": iters,
+            "min_pm": min_pm,
+        }
+
+    def decode_batch_device(self, synds_x, synds_z):
+        if self._core_jit is None:
+            import jax
+
+            self._core_jit = jax.jit(self.core)
+        return self._core_jit(synds_x, synds_z)
+
+    def decode_batch(self, syndromes_x, syndromes_z) -> DecodeResult:
+        """Decode; returns DecodeResult with error = [B, 2, n] (x, z)."""
+        synds_x = np.atleast_2d(np.asarray(syndromes_x, dtype=np.uint8))
+        synds_z = np.atleast_2d(np.asarray(syndromes_z, dtype=np.uint8))
+        out = self.decode_batch_device(
+            jnp.asarray(synds_x), jnp.asarray(synds_z)
+        )
         return DecodeResult(
-            error=error,
-            converged=conv,
-            iterations=np.asarray(iters),
-            min_pm=min_pm,
+            error=np.asarray(out["error"]),
+            converged=np.asarray(out["converged"]),
+            iterations=np.asarray(out["iterations"]),
+            min_pm=np.asarray(out["min_pm"]),
         )
 
     def _cal_pm(self, err_x, err_z):

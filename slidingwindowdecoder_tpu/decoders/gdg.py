@@ -116,6 +116,7 @@ def _select_and_decimate(
     low_error_mode: bool,
     vn_deg,
     synd_hat=None,  # decoded syndrome of `error`, if the caller has it
+    scan_order=None,  # [B, n] VN index per reliability rank (tie-break)
 ):
     """The reference ``select_vn`` scan (bpgd.cpp:288-351 == pyx:340-442):
     aggressive C/D/A decimation applied at once + peel, then the guess
@@ -158,8 +159,22 @@ def _select_and_decimate(
     key_neg = jnp.where(cand & all_neg, hist_sum, big)
     has_neg = jnp.any(key_neg < big, axis=-1)
     has_any = jnp.any(key_any < big, axis=-1)
-    vn_neg = jnp.argmin(key_neg, axis=-1)
-    vn_any = jnp.argmin(key_any, axis=-1)
+    if scan_order is None:
+        vn_neg = jnp.argmin(key_neg, axis=-1)
+        vn_any = jnp.argmin(key_any, axis=-1)
+    else:
+        # the reference scans VNs in reliability order (the column-permuted
+        # sub-PCM, pyx:357) with strict `<`, so exact history-sum ties go
+        # to the most-UNRELIABLE candidate — argmin over the rank-permuted
+        # keys picks the first-in-scan-order minimum
+        kn = jnp.take_along_axis(key_neg, scan_order, axis=-1)
+        ka = jnp.take_along_axis(key_any, scan_order, axis=-1)
+        vn_neg = jnp.take_along_axis(
+            scan_order, jnp.argmin(kn, axis=-1)[:, None], axis=-1
+        )[:, 0]
+        vn_any = jnp.take_along_axis(
+            scan_order, jnp.argmin(ka, axis=-1)[:, None], axis=-1
+        )[:, 0]
     guess_vn = jnp.where(has_neg, vn_neg, vn_any).astype(jnp.int32)
     sum_any = jnp.min(key_any, axis=-1)
     favor = jnp.where(has_neg, jnp.int8(1), (sum_any <= 0.0).astype(jnp.int8))
@@ -173,14 +188,15 @@ def _select_and_decimate(
     return vn_state, cn_state, cn_degree, dead, guess_vn, favor, has_neg | has_any
 
 
-def _ensemble_init(garr, llr, syndrome, vn_state0, cn_state0, cn_degree0,
-                   dead0, NB: int):
+def _ensemble_init(garr, llr, syndrome, scan_order, vn_state0, cn_state0,
+                   cn_degree0, dead0, NB: int):
     """Tile per-shot state over the NB branch lanes (shot-major rows)."""
     BK, _ = syndrome.shape
     n = garr["vn_valid"].shape[0]
     BN = BK * NB
     tile = lambda x: jnp.repeat(x, NB, axis=0)  # shot-major [BK*NB, ...]
     synd = tile(syndrome)
+    order_b = tile(scan_order)
     dead = tile(dead0[:, None])[:, 0]
     llr_b = jnp.broadcast_to(llr, (BN, n))
     branch_of_row = jnp.tile(jnp.arange(NB, dtype=jnp.int32), BK)
@@ -194,7 +210,7 @@ def _ensemble_init(garr, llr, syndrome, vn_state0, cn_state0, cn_degree0,
         jnp.zeros((BN, n), jnp.int8),
         iters,
     )
-    return carry, synd, llr_b, branch_of_row
+    return carry, synd, llr_b, branch_of_row, order_b
 
 
 @partial(
@@ -206,6 +222,7 @@ def _ensemble_step(
     garr,
     llr_b,
     synd,
+    scan_order,
     branch_of_row,
     budget_row,
     flip_now,
@@ -271,6 +288,7 @@ def _ensemble_step(
         low_error_mode=low_error_mode,
         vn_deg=garr["vn_degree"],
         synd_hat=synd_hat,
+        scan_order=scan_order,
     )
 
     # no candidate -> branch ends (reference guess_vn == -1 break)
@@ -330,6 +348,7 @@ def gdg_ensemble_hostloop(
     garr,
     llr,
     syndrome,  # [BK, m]
+    scan_order,
     vn_state0,
     cn_state0,
     cn_degree0,
@@ -357,14 +376,15 @@ def gdg_ensemble_hostloop(
     worker on large (W>=4) window graphs, and the early exit is free
     because the loop is already on the host."""
     BK, _ = syndrome.shape
-    carry, synd, llr_b, branch_of_row = _ensemble_init(
-        garr, llr, syndrome, vn_state0, cn_state0, cn_degree0, dead0, NB
+    carry, synd, llr_b, branch_of_row, order_b = _ensemble_init(
+        garr, llr, syndrome, scan_order, vn_state0, cn_state0, cn_degree0,
+        dead0, NB
     )
     budget_row = budget[branch_of_row]
     for d in range(D_max):
         carry = _ensemble_step(
-            garr, llr_b, synd, branch_of_row, budget_row, flip_now, reinit,
-            A_arr, Asum_arr, jnp.int32(d), carry,
+            garr, llr_b, synd, order_b, branch_of_row, budget_row, flip_now,
+            reinit, A_arr, Asum_arr, jnp.int32(d), carry,
             num_iter=num_iter, alpha=alpha, clip=clip,
             low_error_mode=low_error_mode, msg_dtype=msg_dtype,
         )
@@ -385,6 +405,7 @@ def gdg_ensemble(
     garr,
     llr,
     syndrome,  # [BK, m] (one row per shot; will be tiled over branches)
+    scan_order,  # [BK, n] reliability scan order (tie-break, pyx:357)
     vn_state0,
     cn_state0,
     cn_degree0,
@@ -406,15 +427,16 @@ def gdg_ensemble(
 ):
     """Run the branch ensemble; returns per-shot best error / pm / converged."""
     BK, m = syndrome.shape
-    carry, synd, llr_b, branch_of_row = _ensemble_init(
-        garr, llr, syndrome, vn_state0, cn_state0, cn_degree0, dead0, NB
+    carry, synd, llr_b, branch_of_row, order_b = _ensemble_init(
+        garr, llr, syndrome, scan_order, vn_state0, cn_state0, cn_degree0,
+        dead0, NB
     )
     budget_row = budget[branch_of_row]
 
     step = partial(
         _ensemble_step,
-        garr, llr_b, synd, branch_of_row, budget_row, flip_now, reinit,
-        A_arr, Asum_arr,
+        garr, llr_b, synd, order_b, branch_of_row, budget_row, flip_now,
+        reinit, A_arr, Asum_arr,
         num_iter=num_iter, alpha=alpha, clip=clip,
         low_error_mode=low_error_mode, msg_dtype=msg_dtype,
     )
@@ -448,6 +470,7 @@ def gdg_ensemble_spans(
     garr,
     llr,
     syndrome,  # [BK, m]
+    scan_order,
     vn_state0,
     cn_state0,
     cn_degree0,
@@ -483,8 +506,9 @@ def gdg_ensemble_spans(
     from .bposd import _divisor_bucket
 
     BK, m = syndrome.shape
-    carry, synd, llr_b, branch_of_row = _ensemble_init(
-        garr, llr, syndrome, vn_state0, cn_state0, cn_degree0, dead0, NB
+    carry, synd, llr_b, branch_of_row, order_b = _ensemble_init(
+        garr, llr, syndrome, scan_order, vn_state0, cn_state0, cn_degree0,
+        dead0, NB
     )
     budget_row = budget[branch_of_row]
     BN = BK * NB
@@ -504,12 +528,13 @@ def gdg_ensemble_spans(
             take = lambda a: jnp.take(a, idx, axis=0)
             sub = tuple(take(a) for a in carry)
             synd_c = take(synd)
+            order_c = take(order_b)
             bor_c = take(branch_of_row)
             bud_c = take(budget_row)
             for dd in range(sp):
                 sub = _ensemble_step(
-                    garr, llr_c, synd_c, bor_c, bud_c, flip_now, reinit,
-                    A_arr, Asum_arr, jnp.int32(d0 + dd), sub,
+                    garr, llr_c, synd_c, order_c, bor_c, bud_c, flip_now,
+                    reinit, A_arr, Asum_arr, jnp.int32(d0 + dd), sub,
                     num_iter=num_iter, alpha=alpha, clip=clip,
                     low_error_mode=low_error_mode, msg_dtype=msg_dtype,
                 )
@@ -564,6 +589,7 @@ def gdg_serial(
     garr,
     llr,
     syndrome,  # [B, m]
+    scan_order,  # [B, n]
     vn_state0,
     cn_state0,
     cn_degree0,
@@ -678,6 +704,7 @@ def gdg_serial(
                 dead, active, A_col, A_sum,
                 jnp.broadcast_to(d < 4, (B,)),
                 low_error_mode=low_error_mode, vn_deg=vn_deg,
+                scan_order=scan_order,
             )
         )
 
@@ -720,10 +747,11 @@ def gdg_serial(
 
     def p2_body(carry):
         (i, history, error, converged, min_pm, best_err, queues,
-         min_conv_depth, iters) = carry
+         min_conv_depth, iters, explored) = carry
         (q_vn, q_cn, q_deg, q_guess, q_val, q_depth, used) = queues
         alt_depth = q_depth[:, i]
         valid = (i < used) & (alt_depth <= min_conv_depth)
+        explored = explored.at[:, i].set(valid)
         vn_state = q_vn[:, i]
         cn_state = q_cn[:, i]
         cn_degree = q_deg[:, i]
@@ -768,6 +796,7 @@ def gdg_serial(
                     garr, history, error, syndrome, vn_state, cn_state,
                     cn_degree, dead, b_active, A_col, A_sum, cur_depth < 4,
                     low_error_mode=low_error_mode, vn_deg=vn_deg,
+                    scan_order=scan_order,
                 )
             )
             push = (
@@ -798,20 +827,30 @@ def gdg_serial(
         (_, mv, history, error, b_active, vn_state, cn_state, cn_degree,
          dead, converged, min_pm, best_err, min_conv_depth, queues, iters) = ic
         return (i + 1, history, error, converged, min_pm, best_err, queues,
-                min_conv_depth, iters)
+                min_conv_depth, iters, explored)
 
+    explored = jnp.zeros((B, G), bool) if G > 0 else jnp.zeros((B, 0), bool)
     if G > 0:  # static: G == 0 means side branches disabled entirely
         carry2 = (jnp.int32(0), history, error, converged, min_pm, best_err,
-                  queues, min_conv_depth, iters)
+                  queues, min_conv_depth, iters, explored)
         carry2 = jax.lax.while_loop(p2_cond, p2_body, carry2)
         (_, history, error, converged, min_pm, best_err, queues,
-         min_conv_depth, iters) = carry2
+         min_conv_depth, iters, explored) = carry2
 
+    (q_vn, q_cn, q_deg, q_guess, q_val, q_depth, used) = queues
     return {
         "error": best_err.astype(jnp.uint8),
         "converged": converged,
         "min_pm": min_pm,
         "iterations": iters,
+        # decision/queue trace (small arrays; consumed by the order-exact
+        # oracle test vs the literal pyx:254-338 port, tests/gdg_oracle.py)
+        "q_guess": q_guess,
+        "q_val": q_val,
+        "q_depth": q_depth,
+        "q_used": used,
+        "explored": explored,
+        "min_conv_depth": min_conv_depth,
     }
 
 
@@ -922,13 +961,20 @@ class GDG:
                 )
 
     def _shorten_state(self, synds, llr_sum):
-        """Decide the most-reliable n - new_n columns to 0, then peel."""
+        """Decide the most-reliable n - new_n columns to 0, then peel.
+
+        Also returns the reliability ``order`` (stable argsort of the
+        pre-BP posterior sums, ascending == the reference's column
+        permutation, pyx:263) — the select_vn scan order used to break
+        exact history-sum ties."""
         B = synds.shape[0]
         vn_state, cn_state, cn_degree, dead = init_decimation_state(
             self.garr, jnp.asarray(synds)
         )
+        order = jnp.argsort(jnp.asarray(llr_sum), axis=1, stable=True).astype(
+            jnp.int32
+        )
         if self.new_n < self.n:
-            order = jnp.argsort(jnp.asarray(llr_sum), axis=1, stable=True)
             rank_pos = (
                 jnp.zeros((B, self.n), jnp.int32)
                 .at[jnp.arange(B)[:, None], order]
@@ -942,14 +988,15 @@ class GDG:
             vn_state, cn_state, cn_degree, dead = peel(
                 self.garr, vn_state, cn_state, cn_degree, dead
             )
-        return vn_state, cn_state, cn_degree, dead
+        return vn_state, cn_state, cn_degree, dead, order
 
-    def _run_ensemble(self, s, vn0, cn0, cd0, dead0):
+    def _run_ensemble(self, s, order, vn0, cn0, cd0, dead0):
         if self.multi_thread and self.ensemble_mode == "spans":
             return gdg_ensemble_spans(
                 self.garr,
                 self._llr_dev,
                 s,
+                order,
                 vn0,
                 cn0,
                 cd0,
@@ -973,6 +1020,7 @@ class GDG:
                 self.garr,
                 self._llr_dev,
                 s,
+                order,
                 vn0,
                 cn0,
                 cd0,
@@ -995,6 +1043,7 @@ class GDG:
                 self.garr,
                 self._llr_dev,
                 s,
+                order,
                 vn0,
                 cn0,
                 cd0,
@@ -1017,6 +1066,7 @@ class GDG:
             self.garr,
             self._llr_dev,
             s,
+            order,
             vn0,
             cn0,
             cd0,
@@ -1075,8 +1125,10 @@ class GDG:
             take = lambda a: jnp.take(a, idx, axis=0)
             s = take(synds)
             done_c = take(converged)
-            vn0, cn0, cd0, dead0 = self._shorten_state(s, take(llr_sum))
-            out = self._run_ensemble(s, vn0, cn0, cd0, dead0)
+            vn0, cn0, cd0, dead0, scan_ord = self._shorten_state(
+                s, take(llr_sum)
+            )
+            out = self._run_ensemble(s, scan_ord, vn0, cn0, cd0, dead0)
             # boundary buckets may straddle converged shots: keep theirs
             err_new = jnp.where(
                 done_c[:, None], take(error), out["error"].astype(jnp.uint8)
@@ -1152,8 +1204,10 @@ class GDG:
             take = lambda a: jnp.take(a, idx, axis=0)
             s = take(synds)
             done_c = take(converged)
-            vn0, cn0, cd0, dead0 = self._shorten_state(s, take(llr_sum))
-            out = self._run_ensemble(s, vn0, cn0, cd0, dead0)
+            vn0, cn0, cd0, dead0, scan_ord = self._shorten_state(
+                s, take(llr_sum)
+            )
+            out = self._run_ensemble(s, scan_ord, vn0, cn0, cd0, dead0)
             err_new = jnp.where(
                 done_c[:, None], take(error), out["error"].astype(jnp.uint8)
             )

@@ -96,6 +96,7 @@ class OSDWindow:
         # "auto" == "xla": measured faster on the production window shapes
         # (see ops/gf2_pallas.py note)
         self.gj_engine = "xla" if gj_engine == "auto" else gj_engine
+        self._core_jit = None
 
     def _bp(self, mv, synds, vn_state, cn_state, history, error, done, iters, n_it):
         return bp_run(
@@ -103,8 +104,68 @@ class OSDWindow:
             error, done, iters, num_iter=n_it, alpha=self.alpha, clip=self.clip,
         )
 
-    def decode_batch_device(self, synds):
+    def _shorten_post_osd(self, synd_c, hist_c):
+        """One compacted bucket: shorten -> post-BP -> OSD (fixed shape).
+
+        Returns (final error [b, n] int8, post_conv, iters, osd mask).
+        Per-shot results are independent of the other shots in the bucket.
+        """
+        bucket = synd_c.shape[0]
+        n = self.n
+        # (2) shorten: decide the most reliable columns to zero + peel
+        llr_sum = jnp.sum(hist_c, axis=-1)
+        order = jnp.argsort(llr_sum, axis=1, stable=True)
+        rank_pos = (
+            jnp.zeros((bucket, n), jnp.int32)
+            .at[jnp.arange(bucket)[:, None], order]
+            .set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (bucket, n)))
+        )
+        drop = rank_pos >= self.new_n
+        vn_c, cn_c, cd_c, dead_c = init_decimation_state(self.garr, synd_c)
+        vn_c, cn_c, cd_c, dead_c = vn_set_values(
+            self.garr, vn_c, cn_c, cd_c, dead_c, drop,
+            jnp.zeros((bucket, n), jnp.int8),
+        )
+        vn_c, cn_c, cd_c, dead_c = peel(self.garr, vn_c, cn_c, cd_c, dead_c)
+
+        # (3) post-BP on the masked graph, fresh messages and history
+        mv_c = bp_init_messages(self.garr, self._llr_dev, bucket)
+        hist2 = jnp.zeros((bucket, n, 4), jnp.float32)
+        err_c = jnp.where(vn_c != -1, vn_c, jnp.int8(0))
+        it_c = jnp.zeros((bucket,), jnp.int32)
+        mv_c, hist2, err_c, done_c, it_c = self._bp(
+            mv_c, synd_c, vn_c, cn_c, hist2, err_c, dead_c, it_c,
+            self.post_max_iter,
+        )
+        # dead shots keep the (partially decimated) BP decision
+        post_conv = done_c & ~dead_c
+
+        # (4) OSD for the rest, reliability pinned by decisions
+        rel = jnp.sum(hist2, axis=-1)
+        rel = jnp.where(vn_c == 1, -PIN, jnp.where(vn_c == 0, PIN, rel))
+        osd = osd_decode(
+            self.H_words, synd_c, rel, self._llr_dev, self.patterns,
+            m=self.m, n=n, rank=self.rank, k=self.k, meta=self._osd_meta,
+            engine=self.gj_engine,
+        )
+        use_osd = ~post_conv & ~dead_c
+        final = jnp.where(
+            use_osd[:, None], osd["solution"].astype(jnp.int8), err_c
+        )
+        return final, post_conv, it_c, use_osd
+
+    def core(self, synds):
+        """Pure device-side decode: traceable under jit / shard_map, no
+        host syncs (the reference contract is osd_window.pyx:158-284).
+        Unconverged shots are compacted to the front (sorted bucket walk,
+        same scheme as BPOSD.core) and each bucket runs the fixed-shape
+        shorten -> post-BP -> OSD program."""
+        import jax
+
+        from .bposd import _divisor_bucket
+
         B = synds.shape[0]
+        synds = synds.astype(jnp.uint8)
         n = self.n
         vn_state = jnp.full((B, n), -1, jnp.int8)
         cn_state = synds.astype(jnp.int8)
@@ -116,69 +177,42 @@ class OSDWindow:
             mv, synds, vn_state, cn_state, history, error, done, iters,
             self.pre_max_iter,
         )
-        conv = np.asarray(done)
-        todo = np.nonzero(~conv)[0]
         error = error.astype(jnp.int8)
-        osd_applied = np.zeros(B, dtype=bool)
+        osd_applied = jnp.zeros((B,), bool)
 
-        for lo in range(0, len(todo), self.bucket):
-            chunk = todo[lo : lo + self.bucket]
-            bucket = self.bucket  # fixed shape: one compile
-            g = np.full(bucket, int(chunk[0]), dtype=np.int32)
-            g[: len(chunk)] = chunk
-            s = np.full(bucket, B, dtype=np.int32)
-            s[: len(chunk)] = chunk
-            g_idx, s_idx = jnp.asarray(g), jnp.asarray(s)
-            take = lambda a: jnp.take(a, g_idx, axis=0)
+        bucket = _divisor_bucket(B, self.bucket)
+        synd_weight = jnp.sum(synds, axis=1, dtype=jnp.int32)
+        key = done.astype(jnp.int32) * jnp.int32(self.m + 2) + synd_weight
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        n_todo = jnp.sum((~done).astype(jnp.int32))
 
+        def body(carry):
+            b, error, done, iters, osd_applied = carry
+            idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
+            take = lambda a: jnp.take(a, idx, axis=0)
             synd_c = take(synds)
-            hist_c = take(history)
-            # (2) shorten: decide the most reliable columns to zero + peel
-            llr_sum = jnp.sum(hist_c, axis=-1)
-            order = jnp.argsort(llr_sum, axis=1, stable=True)
-            rank_pos = (
-                jnp.zeros((bucket, n), jnp.int32)
-                .at[jnp.arange(bucket)[:, None], order]
-                .set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (bucket, n)))
+            done_c = take(done)
+            final, post_conv, it_c, use_osd = self._shorten_post_osd(
+                synd_c, take(history)
             )
-            drop = rank_pos >= self.new_n
-            vn_c, cn_c, cd_c, dead_c = init_decimation_state(self.garr, synd_c)
-            vn_c, cn_c, cd_c, dead_c = vn_set_values(
-                self.garr, vn_c, cn_c, cd_c, dead_c, drop,
-                jnp.zeros((bucket, n), jnp.int8),
+            # boundary buckets may straddle converged shots: keep theirs
+            err_new = jnp.where(done_c[:, None], take(error), final)
+            done_new = done_c | post_conv
+            it_new = take(iters) + jnp.where(done_c, 0, it_c)
+            osd_new = jnp.where(done_c, take(osd_applied), use_osd)
+            return (
+                b + 1,
+                error.at[idx].set(err_new),
+                done.at[idx].set(done_new),
+                iters.at[idx].set(it_new),
+                osd_applied.at[idx].set(osd_new),
             )
-            vn_c, cn_c, cd_c, dead_c = peel(self.garr, vn_c, cn_c, cd_c, dead_c)
 
-            # (3) post-BP on the masked graph, fresh messages and history
-            mv_c = bp_init_messages(self.garr, self._llr_dev, bucket)
-            hist2 = jnp.zeros((bucket, n, 4), jnp.float32)
-            err_c = jnp.where(vn_c != -1, vn_c, jnp.int8(0))
-            it_c = jnp.zeros((bucket,), jnp.int32)
-            mv_c, hist2, err_c, done_c, it_c = self._bp(
-                mv_c, synd_c, vn_c, cn_c, hist2, err_c, dead_c, it_c,
-                self.post_max_iter,
-            )
-            # dead shots keep the (partially decimated) BP decision
-            post_conv = done_c & ~dead_c
-
-            # (4) OSD for the rest, reliability pinned by decisions
-            rel = jnp.sum(hist2, axis=-1)
-            rel = jnp.where(vn_c == 1, -PIN, jnp.where(vn_c == 0, PIN, rel))
-            osd = osd_decode(
-                self.H_words, synd_c, rel, self._llr_dev, self.patterns,
-                m=self.m, n=n, rank=self.rank, k=self.k, meta=self._osd_meta,
-                engine=self.gj_engine,
-            )
-            use_osd = ~post_conv & ~dead_c
-            final = jnp.where(
-                use_osd[:, None], osd["solution"].astype(jnp.int8), err_c
-            )
-            error = error.at[s_idx].set(final, mode="drop")
-            done = done.at[s_idx].set(post_conv, mode="drop")
-            iters = iters.at[s_idx].add(
-                jnp.where(jnp.arange(bucket) < len(chunk), it_c, 0), mode="drop"
-            )
-            osd_applied[chunk] = np.asarray(use_osd)[: len(chunk)]
+        _, error, done, iters, osd_applied = jax.lax.while_loop(
+            lambda c: c[0] * bucket < n_todo,
+            body,
+            (jnp.int32(0), error, done, iters, osd_applied),
+        )
 
         error = error.astype(jnp.uint8)
         min_pm = jnp.sum(self._llr_dev[None, :] * (error == 1), axis=-1)
@@ -190,6 +224,13 @@ class OSDWindow:
             "osd_applied": osd_applied,
         }
 
+    def decode_batch_device(self, synds):
+        if self._core_jit is None:
+            import jax
+
+            self._core_jit = jax.jit(self.core)
+        return self._core_jit(synds)
+
     def decode_batch(self, syndromes) -> DecodeResult:
         syndromes, _ = as_batch(syndromes, self.m)
         out = self.decode_batch_device(jnp.asarray(syndromes, jnp.uint8))
@@ -198,7 +239,7 @@ class OSDWindow:
             converged=np.asarray(out["converged"]),
             iterations=np.asarray(out["iterations"]),
             min_pm=np.asarray(out["min_pm"]),
-            osd_applied=out["osd_applied"],
+            osd_applied=np.asarray(out["osd_applied"]),
         )
 
     def decode(self, syndrome) -> np.ndarray:

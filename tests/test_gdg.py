@@ -289,3 +289,97 @@ def test_gdg_spans_mode_matches_fused(bb72, rng):
     np.testing.assert_array_equal(res_f.error, res_s.error)
     np.testing.assert_allclose(res_f.min_pm, res_s.min_pm, rtol=1e-5)
     np.testing.assert_array_equal(res_f.iterations, res_s.iterations)
+
+
+def test_gdg_serial_order_oracle(bb72, rng):
+    """Order-exact trace oracle: ``gdg_serial`` must reproduce the literal
+    pure-Python port of the reference's serialized work queue
+    (bp_guessing_decoder.pyx:254-338; tests/gdg_oracle.py) — the queue push
+    order (guess VN / anti-value / depth), the phase-2 explored-vs-pruned
+    pattern, min_pm, and the final error, per shot.
+
+    low_error_mode=True keeps the reference's select_vn scan free of
+    mid-scan aggressive decimation, the one place its sequential semantics
+    can diverge from the batched evaluation (see gdg_oracle docstring)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from gdg_oracle import gdg_serial_oracle
+
+    from slidingwindowdecoder_tpu.decoders.gdg import gdg_serial
+    from slidingwindowdecoder_tpu.ops.bp import decode_bp
+
+    p = 0.06
+    kw = dict(
+        max_iter=12, ms_scaling_factor=1.0, gdg_factor=1.0,
+        max_iter_per_step=4, max_step=12, max_tree_depth=2,
+        max_side_depth=6, max_side_branch_step=6, new_n=bb72.N,
+        low_error_mode=True, multi_thread=False,
+    )
+    shots = 24
+    errs = (rng.random((shots, bb72.N)) < p).astype(np.uint8)
+    synds = ((errs @ bb72.hx.T) % 2).astype(np.uint8)
+    prior = np.full(bb72.N, p)
+
+    dec = GDG(bb72.hx, prior, **kw)
+    pre = decode_bp(
+        dec.garr, dec._llr_dev, jnp.asarray(synds), num_iter=kw["max_iter"],
+        alpha=1.0, clip=50.0,
+    )
+    vn0, cn0, cd0, dead0, order = dec._shorten_state(
+        jnp.asarray(synds), pre["llr_sum"]
+    )
+    out = gdg_serial(
+        dec.garr, dec._llr_dev, jnp.asarray(synds), order, vn0, cn0, cd0,
+        dead0,
+        num_iter=kw["max_iter_per_step"], max_step=kw["max_step"],
+        max_tree_depth=kw["max_tree_depth"],
+        max_side_depth=kw["max_side_depth"],
+        max_side_branch_step=kw["max_side_branch_step"],
+        max_guess=dec.max_guess, alpha=1.0, clip=50.0,
+        low_error_mode=True,
+    )
+    q_guess = np.asarray(out["q_guess"])
+    q_val = np.asarray(out["q_val"])
+    q_depth = np.asarray(out["q_depth"])
+    q_used = np.asarray(out["q_used"])
+    explored = np.asarray(out["explored"])
+    pre_conv = np.asarray(pre["converged"])
+
+    n_checked = 0
+    for k in range(shots):
+        ref = gdg_serial_oracle(
+            bb72.hx, prior, synds[k], max_iter=kw["max_iter"],
+            max_iter_per_step=kw["max_iter_per_step"],
+            max_step=kw["max_step"], max_tree_depth=kw["max_tree_depth"],
+            max_side_depth=kw["max_side_depth"],
+            max_side_branch_step=kw["max_side_branch_step"],
+            new_n=bb72.N, low_error_mode=True,
+            pre_override=dict(
+                converged=bool(pre_conv[k]),
+                llr_sum=np.asarray(pre["llr_sum"])[k],
+            ),
+        )
+        if ref["pre_converged"]:
+            assert pre_conv[k], k
+            continue
+        assert not pre_conv[k], k
+        n_checked += 1
+        pushes = ref["pushes"]
+        assert int(q_used[k]) == len(pushes), (k, q_used[k], pushes)
+        for s, (vn, val, depth) in enumerate(pushes):
+            assert int(q_guess[k, s]) == vn, (k, s)
+            assert int(q_val[k, s]) == val, (k, s)
+            assert int(q_depth[k, s]) == depth, (k, s)
+        got_explored = [bool(explored[k, s]) for s in range(len(pushes))]
+        assert got_explored == ref["explored"], (k, got_explored,
+                                                 ref["explored"])
+        assert bool(np.asarray(out["converged"])[k]) == ref["converged"], k
+        if ref["converged"]:
+            np.testing.assert_allclose(
+                float(np.asarray(out["min_pm"])[k]), ref["min_pm"],
+                rtol=1e-4)
+            np.testing.assert_array_equal(
+                np.asarray(out["error"])[k], ref["error"], err_msg=str(k))
+    assert n_checked >= 5  # the trace comparison actually exercised

@@ -96,7 +96,7 @@ def main():
         s = jnp.asarray(synd)
         pre = decode_bp(dec.garr, dec._llr_dev, s, num_iter=args.max_iter,
                         alpha=dec.alpha)
-        vn0, cn0, cd0, dead0 = dec._shorten_state(s, pre["llr_sum"])
+        vn0, cn0, cd0, dead0, order = dec._shorten_state(s, pre["llr_sum"])
         out = dec._run_ensemble(s, vn0, cn0, cd0, dead0)
         jax.block_until_ready(out["error"])
         log(f"ensemble ok: converged {int(out['converged'].sum())}/{args.bucket}")
@@ -116,7 +116,7 @@ def main():
         s = jnp.asarray(synd)
         pre = decode_bp(dec.garr, dec._llr_dev, s, num_iter=args.max_iter,
                         alpha=dec.alpha)
-        vn0, cn0, cd0, dead0 = dec._shorten_state(s, pre["llr_sum"])
+        vn0, cn0, cd0, dead0, order = dec._shorten_state(s, pre["llr_sum"])
         BK = s.shape[0]
         NB = dec.NB
         BN = BK * NB

@@ -59,10 +59,10 @@ def main():
     pre = decode_bp(garr, llr, synds, num_iter=8, alpha=1.0, clip=50.0)
     surv = np.asarray(~pre["converged"])
     print(f"survivors {surv.sum()}/{args.shots}", flush=True)
-    vn0, cn0, cd0, dead0 = dec._shorten_state(synds, pre["llr_sum"])
+    vn0, cn0, cd0, dead0, order = dec._shorten_state(synds, pre["llr_sum"])
 
-    carry, synd, llr_b, branch_of_row = _ensemble_init(
-        garr, llr, synds, vn0, cn0, cd0, dead0, dec.NB
+    carry, synd, llr_b, branch_of_row, order_b = _ensemble_init(
+        garr, llr, synds, order, vn0, cn0, cd0, dead0, dec.NB
     )
     budget_row = dec._tables["budget"][branch_of_row]
     BN = synd.shape[0]
@@ -70,7 +70,7 @@ def main():
           flush=True)
 
     step = lambda d, c: _ensemble_step(
-        garr, llr_b, synd, branch_of_row, budget_row,
+        garr, llr_b, synd, order_b, branch_of_row, budget_row,
         dec._tables["flip_now"], dec._tables["reinit"], dec._tables["A"],
         dec._tables["A_sum"], jnp.int32(d), c,
         num_iter=dec.num_iter_per_step, alpha=dec.gdg_factor, clip=dec.clip,
@@ -95,13 +95,13 @@ def main():
     bucket = 64
     sb = synds[:bucket]
     vnb, cnb, cdb, db = (x[: bucket] for x in (vn0, cn0, cd0, dead0))
-    carry_b, synd_b, llr_bb, bor_b = _ensemble_init(
-        garr, llr, sb, vnb, cnb, cdb, db, dec.NB
+    carry_b, synd_b, llr_bb, bor_b, ord_b = _ensemble_init(
+        garr, llr, sb, order[:bucket], vnb, cnb, cdb, db, dec.NB
     )
     budget_b = dec._tables["budget"][bor_b]
 
     stepb = jax.jit(lambda c: _ensemble_step(
-        garr, llr_bb, synd_b, bor_b, budget_b,
+        garr, llr_bb, synd_b, ord_b, bor_b, budget_b,
         dec._tables["flip_now"], dec._tables["reinit"], dec._tables["A"],
         dec._tables["A_sum"], jnp.int32(0), c,
         num_iter=dec.num_iter_per_step, alpha=dec.gdg_factor, clip=dec.clip,
@@ -111,10 +111,11 @@ def main():
     def bponly(c):
         (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
          converged, conv_pm, conv_error, iters) = c
-        mv, history, error, bp_done, iters = bp_run(
+        mv, history, error, bp_done, iters, _synd = bp_run(
             garr, mv, llr_bb, synd_b, vn_state, cn_state, history, error,
             halted, iters, num_iter=dec.num_iter_per_step,
             alpha=dec.gdg_factor, clip=dec.clip, msg_dtype=dec.msg_dtype,
+            return_synd=True,
         )
         return (mv, history, error, vn_state, cn_state, cn_degree, dead,
                 halted, converged, conv_pm, conv_error, iters)
