@@ -99,6 +99,55 @@ def lost_hosts(
     return bad
 
 
+def resume_lost_hosts(
+    checkpoint_dir: str,
+    total_shots: int,
+    batch_size: int,
+    num_hosts: int,
+    run_batch_factory,
+    *,
+    stale_after: float,
+    root_seed: int,
+    checkpoint_every: int = 10,
+) -> dict:
+    """End-to-end elastic recovery: detect lost hosts and replay their
+    remaining batches in the calling process.
+
+    ``run_batch_factory(process_id)`` returns the host's
+    ``run_batch(batch_index, shots, rng)`` work function (typically a real
+    decode batch). Because the RNG stream is a pure function of
+    (root_seed, process_id, batch_index), the replayed counts are exactly
+    what the lost host would have produced. Returns the merged counts of
+    the now-complete campaign; raises if any host is still incomplete
+    afterwards (i.e. a live host is mid-range — call again later).
+    """
+    from .checkpoint import MonteCarloCheckpoint, run_checkpointed
+    from .distributed import host_shot_range
+
+    plan = plan_recovery(
+        checkpoint_dir, total_shots, batch_size, num_hosts
+    )
+    for pid in lost_hosts(plan, stale_after):
+        ckpt = MonteCarloCheckpoint(checkpoint_dir, process_id=pid)
+        _, count = host_shot_range(total_shots, pid, num_hosts)
+        run_checkpointed(
+            count,
+            batch_size,
+            run_batch_factory(pid),
+            ckpt,
+            checkpoint_every=checkpoint_every,
+            root_seed=root_seed,
+        )
+    plan = plan_recovery(checkpoint_dir, total_shots, batch_size, num_hosts)
+    incomplete = [pid for pid, rec in plan.items() if not rec.complete]
+    if incomplete:
+        raise RuntimeError(
+            f"hosts {incomplete} still incomplete after recovery (alive "
+            "mid-range, or their replay failed)"
+        )
+    return merge_counts(plan)
+
+
 def merge_counts(plan: dict[int, HostRecovery]) -> dict:
     """Aggregate persisted counters across hosts (the psum analog for
     recovery-time accounting)."""
