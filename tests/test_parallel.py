@@ -435,7 +435,7 @@ def test_elastic_recovery_end_to_end(tmp_path):
     p = 0.05
     dec = BPOSD(code.hx, np.full(code.N, p), max_iter=20,
                 osd_method="osd_0", bp_bucket=8, osd_bucket=8)
-    hz_perp = np.vstack([code.hz, code.lz]) % 2
+    hz_perp_T = code.hz_perp.T.astype(np.int64)
 
     def make_run_batch(pid):
         def run_batch(idx, shots, rng):
@@ -443,7 +443,7 @@ def test_elastic_recovery_end_to_end(tmp_path):
             synds = (errs @ code.hx.T) % 2
             res = dec.decode_batch(synds)
             e_diff = (res.error ^ errs) % 2
-            logical = ((e_diff @ hz_perp.T) % 2).any(axis=1)
+            logical = ((e_diff @ hz_perp_T) % 2).any(axis=1)
             return {"failed": int(logical.sum()), "shots": shots}
         return run_batch
 
