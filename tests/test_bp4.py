@@ -162,7 +162,7 @@ def test_bp4_core_shard_map_matches_single(rng):
             mesh=mesh,
             in_specs=(P(mesh.axis_names[0]), P(mesh.axis_names[0])),
             out_specs=P(mesh.axis_names[0]),
-            check_rep=False,
+            check_vma=False,
         )
     )
     sharded = sharded_fn(jnp.asarray(sx), jnp.asarray(sz))
