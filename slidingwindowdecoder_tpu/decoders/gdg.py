@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graphs.tanner import compile_graph, graph_device_arrays
-from ..ops.bp import bp_init_messages, bp_run, decode_bp, fresh_bp_state
+from ..ops.bp import (
+    bp_init_messages,
+    bp_init_messages_sm,
+    bp_run,
+    decode_bp,
+    fresh_bp_state,
+)
 from ..ops.decimation import (
     init_decimation_state,
     peel,
@@ -101,7 +107,7 @@ def build_branch_tables(
 
 def _select_and_decimate(
     garr,
-    history,
+    hist_stats,  # (hist_min, hist_max, hist_sum, all_neg), each [B, n]
     error,
     synd,
     vn_state,
@@ -127,9 +133,7 @@ def _select_and_decimate(
     """
     C_thr, D_thr = 30.0, 3.0
     B, n = vn_state.shape
-    hist_min = jnp.min(history, axis=-1)
-    hist_max = jnp.max(history, axis=-1)
-    hist_sum = jnp.sum(history, axis=-1)
+    hist_min, hist_max, hist_sum, all_neg = hist_stats
     eligible = (vn_state == -1) & (vn_deg[None, :] > 2) & active[:, None]
 
     if low_error_mode:
@@ -153,7 +157,6 @@ def _select_and_decimate(
 
     # guess candidates evaluated before the peel (reference scan order)
     cand = eligible & ~agg
-    all_neg = jnp.all(history <= 0.0, axis=-1)
     big = jnp.float32(MAX_PM)
     key_any = jnp.where(cand, hist_sum, big)
     key_neg = jnp.where(cand & all_neg, hist_sum, big)
@@ -188,9 +191,34 @@ def _select_and_decimate(
     return vn_state, cn_state, cn_degree, dead, guess_vn, favor, has_neg | has_any
 
 
+def _hist_stats_bm(history):
+    """(min, max, sum, all_neg) from batch-major history [B, n, 4]."""
+    return (
+        jnp.min(history, axis=-1),
+        jnp.max(history, axis=-1),
+        jnp.sum(history, axis=-1),
+        jnp.all(history <= 0.0, axis=-1),
+    )
+
+
+def _hist_stats_sm(hist_t):
+    """(min, max, sum, all_neg) [B, n] from slot-major history [n, 4, B]."""
+    return (
+        jnp.min(hist_t, axis=1).T,
+        jnp.max(hist_t, axis=1).T,
+        jnp.sum(hist_t, axis=1).T,
+        jnp.all(hist_t <= 0.0, axis=1).T,
+    )
+
+
 def _ensemble_init(garr, llr, syndrome, scan_order, vn_state0, cn_state0,
-                   cn_degree0, dead0, NB: int):
-    """Tile per-shot state over the NB branch lanes (shot-major rows)."""
+                   cn_degree0, dead0, NB: int, msg_dtype: str = "float32"):
+    """Tile per-shot state over the NB branch lanes (shot-major rows).
+
+    The BP carry lives in the kernel-native layouts: messages slot-major
+    [dc, m_pad, BN] in the message dtype (bfloat16 stays bfloat16 at
+    rest), history [n, 4, BN] — so the per-step ``bp_run`` bursts skip
+    the entry/exit transposes (io_layout="slot_major")."""
     BK, _ = syndrome.shape
     n = garr["vn_valid"].shape[0]
     BN = BK * NB
@@ -200,10 +228,12 @@ def _ensemble_init(garr, llr, syndrome, scan_order, vn_state0, cn_state0,
     dead = tile(dead0[:, None])[:, 0]
     llr_b = jnp.broadcast_to(llr, (BN, n))
     branch_of_row = jnp.tile(jnp.arange(NB, dtype=jnp.int32), BK)
-    mv = bp_init_messages(garr, llr_b, BN)
-    history, error, _, iters = fresh_bp_state(garr, BN)
+    mv_sm = bp_init_messages_sm(garr, llr, BN, msg_dtype)
+    hist_t = jnp.zeros((n, 4, BN), jnp.float32)
+    error = jnp.zeros((BN, n), jnp.int8)
+    iters = jnp.zeros((BN,), jnp.int32)
     carry = (
-        mv, history, error, tile(vn_state0), tile(cn_state0),
+        mv_sm, hist_t, error, tile(vn_state0), tile(cn_state0),
         tile(cn_degree0), dead, dead,  # halted starts as dead
         jnp.zeros((BN,), bool),
         jnp.full((BN,), MAX_PM, jnp.float32),
@@ -247,11 +277,12 @@ def _ensemble_step(
     BN, n = vn_state.shape
     active = ~halted & (d < budget_row)
 
-    # --- masked BP (num_iter iterations, early per-row freeze) ---------
+    # --- masked BP (num_iter iterations, early per-row freeze); the
+    # mv/history carry is slot-major and stays in the message dtype -----
     mv, history, error, bp_done, iters, synd_hat = bp_run(
         garr, mv, llr_b, synd, vn_state, cn_state, history, error,
         ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
-        msg_dtype=msg_dtype, return_synd=True,
+        msg_dtype=msg_dtype, return_synd=True, io_layout="slot_major",
     )
     newly_conv = bp_done & active
     pm = jnp.sum(llr_b * (error == 1), axis=-1)
@@ -274,7 +305,7 @@ def _ensemble_step(
         has_cand,
     ) = _select_and_decimate(
         garr,
-        history,
+        _hist_stats_sm(history),
         error,
         synd,
         vn_state,
@@ -312,7 +343,11 @@ def _ensemble_step(
 
     # side branches restart BP messages from the priors at their flip
     re = reinit_tab[branch_of_row, d] & do_set
-    mv = jnp.where(re[:, None, None], bp_init_messages(garr, llr_b, BN), mv)
+    mv = jnp.where(
+        re[None, None, :],
+        bp_init_messages_sm(garr, llr_b[0], BN, msg_dtype),
+        mv,
+    )
 
     # keep decided values reflected in the running error vector
     error = jnp.where(vn_state != -1, vn_state, error)
@@ -378,7 +413,7 @@ def gdg_ensemble_hostloop(
     BK, _ = syndrome.shape
     carry, synd, llr_b, branch_of_row, order_b = _ensemble_init(
         garr, llr, syndrome, scan_order, vn_state0, cn_state0, cn_degree0,
-        dead0, NB
+        dead0, NB, msg_dtype
     )
     budget_row = budget[branch_of_row]
     for d in range(D_max):
@@ -429,7 +464,7 @@ def gdg_ensemble(
     BK, m = syndrome.shape
     carry, synd, llr_b, branch_of_row, order_b = _ensemble_init(
         garr, llr, syndrome, scan_order, vn_state0, cn_state0, cn_degree0,
-        dead0, NB
+        dead0, NB, msg_dtype
     )
     budget_row = budget[branch_of_row]
 
@@ -508,7 +543,7 @@ def gdg_ensemble_spans(
     BK, m = syndrome.shape
     carry, synd, llr_b, branch_of_row, order_b = _ensemble_init(
         garr, llr, syndrome, scan_order, vn_state0, cn_state0, cn_degree0,
-        dead0, NB
+        dead0, NB, msg_dtype
     )
     budget_row = budget[branch_of_row]
     BN = BK * NB
@@ -526,7 +561,11 @@ def gdg_ensemble_spans(
             b, carry = state
             idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
             take = lambda a: jnp.take(a, idx, axis=0)
-            sub = tuple(take(a) for a in carry)
+            # mv/history (carry[0:2]) are slot-major with the row axis LAST
+            sub = tuple(
+                jnp.take(a, idx, axis=-1) if i < 2 else take(a)
+                for i, a in enumerate(carry)
+            )
             synd_c = take(synd)
             order_c = take(order_b)
             bor_c = take(branch_of_row)
@@ -538,7 +577,10 @@ def gdg_ensemble_spans(
                     num_iter=num_iter, alpha=alpha, clip=clip,
                     low_error_mode=low_error_mode, msg_dtype=msg_dtype,
                 )
-            carry = tuple(a.at[idx].set(s) for a, s in zip(carry, sub))
+            carry = tuple(
+                a.at[:, :, idx].set(s) if i < 2 else a.at[idx].set(s)
+                for i, (a, s) in enumerate(zip(carry, sub))
+            )
             return (b + 1, carry)
 
         _, carry = jax.lax.while_loop(
@@ -700,7 +742,8 @@ def gdg_serial(
         ) * jnp.where(d == 0, jnp.float32(-16.0), jnp.float32(-12.0))
         (vn_state, cn_state, cn_degree, dead, guess_vn, favor, has_cand) = (
             _select_and_decimate(
-                garr, history, error, syndrome, vn_state, cn_state, cn_degree,
+                garr, _hist_stats_bm(history), error, syndrome, vn_state,
+                cn_state, cn_degree,
                 dead, active, A_col, A_sum,
                 jnp.broadcast_to(d < 4, (B,)),
                 low_error_mode=low_error_mode, vn_deg=vn_deg,
@@ -793,7 +836,8 @@ def gdg_serial(
             A_sum = jnp.full((B,), -10.0, jnp.float32)
             (vn_state, cn_state, cn_degree, dead, guess_vn, favor, has_cand) = (
                 _select_and_decimate(
-                    garr, history, error, syndrome, vn_state, cn_state,
+                    garr, _hist_stats_bm(history), error, syndrome, vn_state,
+                    cn_state,
                     cn_degree, dead, b_active, A_col, A_sum, cur_depth < 4,
                     low_error_mode=low_error_mode, vn_deg=vn_deg,
                     scan_order=scan_order,

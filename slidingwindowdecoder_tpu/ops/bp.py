@@ -72,6 +72,23 @@ def bp_init_messages(garr, prior_llr, batch: int):
     return prior_pad[:, cn_vn]  # [B, m, dc]
 
 
+def bp_init_messages_sm(garr, prior_llr, batch: int, msg_dtype="float32"):
+    """Initial VN->CN messages in slot-major [dc, m_pad, B] layout.
+
+    ``prior_llr``: [n] (one prior per VN, shared across the batch — the
+    GDG ensemble's case). Invalid slots carry 0; they are masked out of
+    every update anyway.
+    """
+    cn_vn_sm = garr["cn_vn_sm"]  # [dc, m_pad]
+    n = garr["vn_valid"].shape[0]
+    mdt = jnp.dtype(msg_dtype)
+    prior = jnp.asarray(prior_llr, mdt)
+    prior_pad = jnp.concatenate([prior, jnp.zeros((1,), mdt)])
+    base = jnp.take(prior_pad, cn_vn_sm, mode="clip")  # [dc, m_pad]
+    base = jnp.where(garr["cn_valid_sm"], base, mdt.type(0))
+    return jnp.broadcast_to(base[:, :, None], (*base.shape, batch))
+
+
 def _cn_update_sm(mv, edge_valid, parity, *, alpha, clip):
     """Check-node update, slot-major.
 
@@ -126,6 +143,7 @@ def check_syndrome(garr, error):
         "posterior_matmul",
         "cn_engine",
         "return_synd",
+        "io_layout",
     ),
 )
 def bp_run(
@@ -150,6 +168,7 @@ def bp_run(
     posterior_matmul: bool = False,
     cn_engine: str = "xla",
     return_synd: bool = False,
+    io_layout: str = "batch_major",
 ):
     """Run up to ``num_iter`` BP iterations with per-shot convergence freeze.
 
@@ -165,8 +184,16 @@ def bp_run(
     ``history_mode="tail"`` records history only during the final 4
     iterations (identical for every shot that runs them; converged shots'
     histories are junk — only valid when downstream ignores those too).
+
+    ``io_layout="slot_major"`` exchanges ``mv`` as [dc, m_pad, B] in the
+    message dtype and ``history`` as [n, 4, B] — the internal layouts —
+    skipping the entry/exit transposes and the f32 round-trip entirely.
+    For a caller that holds BP state across many short ``bp_run`` bursts
+    (the GDG ensemble: D_max steps x num_iter iterations) this removes
+    four full copies of the two largest arrays per burst and lets a
+    bfloat16 message carry stay bfloat16 at rest.
     """
-    B = mv.shape[0]
+    B = syndrome.shape[0]
     n = garr["vn_valid"].shape[0]
     m = garr["cn_vn"].shape[0]
     cn_vn_sm = garr["cn_vn_sm"]  # [dc, m_pad]
@@ -189,11 +216,15 @@ def bp_run(
     vn_state_t = vn_state.T  # [n, B]
     parity = jnp.maximum(cn_state_t, 0)
 
-    # batch-major [B, m, dc] carry -> slot-major [dc, m_pad, B]
-    mv_sm = jnp.pad(
-        jnp.transpose(mv, (2, 1, 0)), ((0, 0), (0, m_pad - m), (0, 0))
-    ).astype(mdt)
-    hist_t = jnp.transpose(history, (1, 2, 0))  # [n, 4, B]
+    if io_layout == "slot_major":
+        mv_sm = mv.astype(mdt)  # already [dc, m_pad, B]
+        hist_t = history  # already [n, 4, B]
+    else:
+        # batch-major [B, m, dc] carry -> slot-major [dc, m_pad, B]
+        mv_sm = jnp.pad(
+            jnp.transpose(mv, (2, 1, 0)), ((0, 0), (0, m_pad - m), (0, 0))
+        ).astype(mdt)
+        hist_t = jnp.transpose(history, (1, 2, 0))  # [n, 4, B]
     err_t = error.T
     vn_undecided = vn_state_t == -1
 
@@ -320,14 +351,17 @@ def bp_run(
         raise ValueError(f"unknown history_mode {history_mode!r}")
     _, mv_sm, hist_t, err_t, done, iters, sodd = state
 
-    mv_out = jnp.transpose(mv_sm[:, :m, :], (2, 1, 0)).astype(jnp.float32)
-    out = (
-        mv_out,
-        jnp.transpose(hist_t, (2, 0, 1)),
-        err_t.T,
-        done,
-        iters,
-    )
+    if io_layout == "slot_major":
+        out = (mv_sm, hist_t, err_t.T, done, iters)
+    else:
+        mv_out = jnp.transpose(mv_sm[:, :m, :], (2, 1, 0)).astype(jnp.float32)
+        out = (
+            mv_out,
+            jnp.transpose(hist_t, (2, 0, 1)),
+            err_t.T,
+            done,
+            iters,
+        )
     if return_synd:
         return out + (sodd[:m].T.astype(jnp.int8),)
     return out

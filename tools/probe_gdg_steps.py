@@ -115,7 +115,7 @@ def main():
             garr, mv, llr_bb, synd_b, vn_state, cn_state, history, error,
             halted, iters, num_iter=dec.num_iter_per_step,
             alpha=dec.gdg_factor, clip=dec.clip, msg_dtype=dec.msg_dtype,
-            return_synd=True,
+            return_synd=True, io_layout="slot_major",
         )
         return (mv, history, error, vn_state, cn_state, cn_degree, dead,
                 halted, converged, conv_pm, conv_error, iters)
