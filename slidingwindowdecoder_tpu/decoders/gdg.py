@@ -122,7 +122,7 @@ def _select_and_decimate(
     low_error_mode: bool,
     vn_deg,
     synd_hat=None,  # decoded syndrome of `error`, if the caller has it
-    scan_order=None,  # [B, n] VN index per reliability rank (tie-break)
+    scan_rank=None,  # [B, n] reliability rank of each VN (tie-break)
 ):
     """The reference ``select_vn`` scan (bpgd.cpp:288-351 == pyx:340-442):
     aggressive C/D/A decimation applied at once + peel, then the guess
@@ -162,22 +162,26 @@ def _select_and_decimate(
     key_neg = jnp.where(cand & all_neg, hist_sum, big)
     has_neg = jnp.any(key_neg < big, axis=-1)
     has_any = jnp.any(key_any < big, axis=-1)
-    if scan_order is None:
+    if scan_rank is None:
         vn_neg = jnp.argmin(key_neg, axis=-1)
         vn_any = jnp.argmin(key_any, axis=-1)
     else:
         # the reference scans VNs in reliability order (the column-permuted
-        # sub-PCM, pyx:357) with strict `<`, so exact history-sum ties go
-        # to the most-UNRELIABLE candidate — argmin over the rank-permuted
-        # keys picks the first-in-scan-order minimum
-        kn = jnp.take_along_axis(key_neg, scan_order, axis=-1)
-        ka = jnp.take_along_axis(key_any, scan_order, axis=-1)
-        vn_neg = jnp.take_along_axis(
-            scan_order, jnp.argmin(kn, axis=-1)[:, None], axis=-1
-        )[:, 0]
-        vn_any = jnp.take_along_axis(
-            scan_order, jnp.argmin(ka, axis=-1)[:, None], axis=-1
-        )[:, 0]
+        # sub-PCM, pyx:357) with strict `<`, so an exact history-sum tie
+        # goes to the earliest-scanned (most unreliable) candidate: among
+        # the exact-minimum keys, pick the smallest scan rank. Elementwise
+        # + reductions only — a per-row permutation gather
+        # (take_along_axis) here crashes the TPU worker on the large W>=4
+        # window graphs (docs/GDG_W4_CRASH.md).
+        big_i = jnp.int32(1 << 30)
+        kmin_neg = jnp.min(key_neg, axis=-1, keepdims=True)
+        kmin_any = jnp.min(key_any, axis=-1, keepdims=True)
+        vn_neg = jnp.argmin(
+            jnp.where(key_neg <= kmin_neg, scan_rank, big_i), axis=-1
+        )
+        vn_any = jnp.argmin(
+            jnp.where(key_any <= kmin_any, scan_rank, big_i), axis=-1
+        )
     guess_vn = jnp.where(has_neg, vn_neg, vn_any).astype(jnp.int32)
     sum_any = jnp.min(key_any, axis=-1)
     favor = jnp.where(has_neg, jnp.int8(1), (sum_any <= 0.0).astype(jnp.int8))
@@ -211,7 +215,7 @@ def _hist_stats_sm(hist_t):
     )
 
 
-def _ensemble_init(garr, llr, syndrome, scan_order, vn_state0, cn_state0,
+def _ensemble_init(garr, llr, syndrome, scan_rank, vn_state0, cn_state0,
                    cn_degree0, dead0, NB: int, msg_dtype: str = "float32"):
     """Tile per-shot state over the NB branch lanes (shot-major rows).
 
@@ -224,7 +228,7 @@ def _ensemble_init(garr, llr, syndrome, scan_order, vn_state0, cn_state0,
     BN = BK * NB
     tile = lambda x: jnp.repeat(x, NB, axis=0)  # shot-major [BK*NB, ...]
     synd = tile(syndrome)
-    order_b = tile(scan_order)
+    rank_b = tile(scan_rank)
     dead = tile(dead0[:, None])[:, 0]
     llr_b = jnp.broadcast_to(llr, (BN, n))
     branch_of_row = jnp.tile(jnp.arange(NB, dtype=jnp.int32), BK)
@@ -240,7 +244,7 @@ def _ensemble_init(garr, llr, syndrome, scan_order, vn_state0, cn_state0,
         jnp.zeros((BN, n), jnp.int8),
         iters,
     )
-    return carry, synd, llr_b, branch_of_row, order_b
+    return carry, synd, llr_b, branch_of_row, rank_b
 
 
 @partial(
@@ -252,7 +256,7 @@ def _ensemble_step(
     garr,
     llr_b,
     synd,
-    scan_order,
+    scan_rank,
     branch_of_row,
     budget_row,
     flip_now,
@@ -319,7 +323,7 @@ def _ensemble_step(
         low_error_mode=low_error_mode,
         vn_deg=garr["vn_degree"],
         synd_hat=synd_hat,
-        scan_order=scan_order,
+        scan_rank=scan_rank,
     )
 
     # no candidate -> branch ends (reference guess_vn == -1 break)
@@ -383,7 +387,7 @@ def gdg_ensemble_hostloop(
     garr,
     llr,
     syndrome,  # [BK, m]
-    scan_order,
+    scan_rank,
     vn_state0,
     cn_state0,
     cn_degree0,
@@ -411,14 +415,14 @@ def gdg_ensemble_hostloop(
     worker on large (W>=4) window graphs, and the early exit is free
     because the loop is already on the host."""
     BK, _ = syndrome.shape
-    carry, synd, llr_b, branch_of_row, order_b = _ensemble_init(
-        garr, llr, syndrome, scan_order, vn_state0, cn_state0, cn_degree0,
+    carry, synd, llr_b, branch_of_row, rank_b = _ensemble_init(
+        garr, llr, syndrome, scan_rank, vn_state0, cn_state0, cn_degree0,
         dead0, NB, msg_dtype
     )
     budget_row = budget[branch_of_row]
     for d in range(D_max):
         carry = _ensemble_step(
-            garr, llr_b, synd, order_b, branch_of_row, budget_row, flip_now,
+            garr, llr_b, synd, rank_b, branch_of_row, budget_row, flip_now,
             reinit, A_arr, Asum_arr, jnp.int32(d), carry,
             num_iter=num_iter, alpha=alpha, clip=clip,
             low_error_mode=low_error_mode, msg_dtype=msg_dtype,
@@ -440,7 +444,7 @@ def gdg_ensemble(
     garr,
     llr,
     syndrome,  # [BK, m] (one row per shot; will be tiled over branches)
-    scan_order,  # [BK, n] reliability scan order (tie-break, pyx:357)
+    scan_rank,  # [BK, n] reliability rank per VN (tie-break, pyx:357)
     vn_state0,
     cn_state0,
     cn_degree0,
@@ -462,15 +466,15 @@ def gdg_ensemble(
 ):
     """Run the branch ensemble; returns per-shot best error / pm / converged."""
     BK, m = syndrome.shape
-    carry, synd, llr_b, branch_of_row, order_b = _ensemble_init(
-        garr, llr, syndrome, scan_order, vn_state0, cn_state0, cn_degree0,
+    carry, synd, llr_b, branch_of_row, rank_b = _ensemble_init(
+        garr, llr, syndrome, scan_rank, vn_state0, cn_state0, cn_degree0,
         dead0, NB, msg_dtype
     )
     budget_row = budget[branch_of_row]
 
     step = partial(
         _ensemble_step,
-        garr, llr_b, synd, order_b, branch_of_row, budget_row, flip_now,
+        garr, llr_b, synd, rank_b, branch_of_row, budget_row, flip_now,
         reinit, A_arr, Asum_arr,
         num_iter=num_iter, alpha=alpha, clip=clip,
         low_error_mode=low_error_mode, msg_dtype=msg_dtype,
@@ -505,7 +509,7 @@ def gdg_ensemble_spans(
     garr,
     llr,
     syndrome,  # [BK, m]
-    scan_order,
+    scan_rank,
     vn_state0,
     cn_state0,
     cn_degree0,
@@ -541,8 +545,8 @@ def gdg_ensemble_spans(
     from .bposd import _divisor_bucket
 
     BK, m = syndrome.shape
-    carry, synd, llr_b, branch_of_row, order_b = _ensemble_init(
-        garr, llr, syndrome, scan_order, vn_state0, cn_state0, cn_degree0,
+    carry, synd, llr_b, branch_of_row, rank_b = _ensemble_init(
+        garr, llr, syndrome, scan_rank, vn_state0, cn_state0, cn_degree0,
         dead0, NB, msg_dtype
     )
     budget_row = budget[branch_of_row]
@@ -567,12 +571,12 @@ def gdg_ensemble_spans(
                 for i, a in enumerate(carry)
             )
             synd_c = take(synd)
-            order_c = take(order_b)
+            rank_c = take(rank_b)
             bor_c = take(branch_of_row)
             bud_c = take(budget_row)
             for dd in range(sp):
                 sub = _ensemble_step(
-                    garr, llr_c, synd_c, order_c, bor_c, bud_c, flip_now,
+                    garr, llr_c, synd_c, rank_c, bor_c, bud_c, flip_now,
                     reinit, A_arr, Asum_arr, jnp.int32(d0 + dd), sub,
                     num_iter=num_iter, alpha=alpha, clip=clip,
                     low_error_mode=low_error_mode, msg_dtype=msg_dtype,
@@ -631,7 +635,7 @@ def gdg_serial(
     garr,
     llr,
     syndrome,  # [B, m]
-    scan_order,  # [B, n]
+    scan_rank,  # [B, n]
     vn_state0,
     cn_state0,
     cn_degree0,
@@ -747,7 +751,7 @@ def gdg_serial(
                 dead, active, A_col, A_sum,
                 jnp.broadcast_to(d < 4, (B,)),
                 low_error_mode=low_error_mode, vn_deg=vn_deg,
-                scan_order=scan_order,
+                scan_rank=scan_rank,
             )
         )
 
@@ -840,7 +844,7 @@ def gdg_serial(
                     cn_state,
                     cn_degree, dead, b_active, A_col, A_sum, cur_depth < 4,
                     low_error_mode=low_error_mode, vn_deg=vn_deg,
-                    scan_order=scan_order,
+                    scan_rank=scan_rank,
                 )
             )
             push = (
@@ -1007,10 +1011,10 @@ class GDG:
     def _shorten_state(self, synds, llr_sum):
         """Decide the most-reliable n - new_n columns to 0, then peel.
 
-        Also returns the reliability ``order`` (stable argsort of the
-        pre-BP posterior sums, ascending == the reference's column
-        permutation, pyx:263) — the select_vn scan order used to break
-        exact history-sum ties."""
+        Also returns the reliability ``rank_pos`` (each VN's position in
+        the stable ascending argsort of the pre-BP posterior sums == the
+        reference's column permutation, pyx:263) — the select_vn scan
+        order used to break exact history-sum ties."""
         B = synds.shape[0]
         vn_state, cn_state, cn_degree, dead = init_decimation_state(
             self.garr, jnp.asarray(synds)
@@ -1018,12 +1022,12 @@ class GDG:
         order = jnp.argsort(jnp.asarray(llr_sum), axis=1, stable=True).astype(
             jnp.int32
         )
+        rank_pos = (
+            jnp.zeros((B, self.n), jnp.int32)
+            .at[jnp.arange(B)[:, None], order]
+            .set(jnp.broadcast_to(jnp.arange(self.n, dtype=jnp.int32), (B, self.n)))
+        )
         if self.new_n < self.n:
-            rank_pos = (
-                jnp.zeros((B, self.n), jnp.int32)
-                .at[jnp.arange(B)[:, None], order]
-                .set(jnp.broadcast_to(jnp.arange(self.n, dtype=jnp.int32), (B, self.n)))
-            )
             drop = rank_pos >= self.new_n
             vn_state, cn_state, cn_degree, dead = vn_set_values(
                 self.garr, vn_state, cn_state, cn_degree, dead,
@@ -1032,7 +1036,7 @@ class GDG:
             vn_state, cn_state, cn_degree, dead = peel(
                 self.garr, vn_state, cn_state, cn_degree, dead
             )
-        return vn_state, cn_state, cn_degree, dead, order
+        return vn_state, cn_state, cn_degree, dead, rank_pos
 
     def _run_ensemble(self, s, order, vn0, cn0, cd0, dead0):
         if self.multi_thread and self.ensemble_mode == "spans":

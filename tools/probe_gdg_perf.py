@@ -55,11 +55,14 @@ def main():
         "base_b64_f32": dict(ensemble_bucket=64),
         "b256_f32": dict(ensemble_bucket=256),
         "b256_bf16": dict(ensemble_bucket=256, msg_dtype="bfloat16"),
-        "b256_bf16_ee": dict(ensemble_bucket=256, msg_dtype="bfloat16",
-                             ensemble_early_exit=True),
-        "b64_ee": dict(ensemble_bucket=64, ensemble_early_exit=True),
-        "b1024_bf16_ee": dict(ensemble_bucket=1024, msg_dtype="bfloat16",
-                              ensemble_early_exit=True),
+        "spans_b256": dict(ensemble_bucket=256, ensemble_mode="spans"),
+        "spans_b256_bf16": dict(ensemble_bucket=256, ensemble_mode="spans",
+                                msg_dtype="bfloat16"),
+        "spans_b512_bf16": dict(ensemble_bucket=512, ensemble_mode="spans",
+                                msg_dtype="bfloat16"),
+        "spans_b512_bf16_rb4k": dict(ensemble_bucket=512,
+                                     ensemble_mode="spans",
+                                     msg_dtype="bfloat16", row_bucket=4096),
     }
     if args.configs:
         names = args.configs.split(",")
