@@ -90,8 +90,11 @@ def run_gdg(name, shots, seed, *, N, p, r, W, F, max_iter=200,
     # bit-identical to host_loop and ~6x faster). W=3 and code-capacity
     # graphs are fine fused.
     mode = "spans" if W >= 4 else "fused"
+    mode = os.environ.get("SWD_GDG_MODE", mode)  # host_loop fallback hook
     if ensemble_bucket is None:
         ensemble_bucket = 256 if W >= 4 else 64
+        if mode == "host_loop":
+            ensemble_bucket = 64
     res = sliding_window_gdg(
         N=N, p=p, num_repeat=r, num_shots=shots, max_iter=max_iter, W=W, F=F,
         last_win_osd=last_win_osd, low_error_mode=low_error_mode, seed=seed,
