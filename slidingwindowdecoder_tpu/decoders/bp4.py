@@ -114,6 +114,7 @@ class BP4OSD:
             jnp.asarray(v) for v in (self.llr_x, self.llr_y, self.llr_z)
         )
         self._core_jit = None
+        self._camel_jit = None
 
     # ------------------------------------------------------------------
 
@@ -271,48 +272,67 @@ class BP4OSD:
             + only_z * self.llr_z[None, :]
         ).sum(axis=1).astype(np.float32)
 
+    def camel_core(self, synds_x, synds_z):
+        """CAMEL as a pure device program (jit/shard_map traceable):
+        decimate the last VN to each Pauli (4 branch lanes per shot), BP4
+        each, keep the converged branch of minimum path metric
+        (bp4_osd.pyx:223-248)."""
+        B = synds_x.shape[0]
+        last = self.n - 1
+        # adjacency of the last variable (static host metadata)
+        hx_adj = self.gx.vn_cn[last][self.gx.vn_valid[last]]
+        hz_adj = self.gz.vn_cn[last][self.gz.vn_valid[last]]
+
+        sx = synds_x.astype(jnp.uint8)
+        sz = synds_z.astype(jnp.uint8)
+        reps_x = jnp.repeat(sx, 4, axis=0)
+        reps_z = jnp.repeat(sz, 4, axis=0)
+        values = jnp.tile(jnp.arange(4, dtype=jnp.int8), B)
+        vn_state = jnp.full((4 * B, self.n), -1, jnp.int8)
+        vn_state = vn_state.at[:, last].set(values)
+        zcomp = (values // 2).astype(jnp.int8)
+        xcomp = (values % 2).astype(jnp.int8)
+        cn_x = reps_x.astype(jnp.int8)
+        cn_z = reps_z.astype(jnp.int8)
+        cn_x = cn_x.at[:, jnp.asarray(hx_adj)].set(
+            cn_x[:, jnp.asarray(hx_adj)] ^ zcomp[:, None]
+        )
+        cn_z = cn_z.at[:, jnp.asarray(hz_adj)].set(
+            cn_z[:, jnp.asarray(hz_adj)] ^ xcomp[:, None]
+        )
+
+        (mvx, mvz, lprx, lpry, lprz, ex, ez, done, iters) = self._run_bp4(
+            reps_x, reps_z, vn_state, cn_x, cn_z
+        )
+        conv = done.reshape(B, 4)
+        ex = ex.astype(jnp.uint8).reshape(B, 4, self.n)
+        ez = ez.astype(jnp.uint8).reshape(B, 4, self.n)
+        pm = self._cal_pm(
+            ex.reshape(-1, self.n), ez.reshape(-1, self.n)
+        ).reshape(B, 4)
+        pm = jnp.where(conv, pm, 1e4)
+        best = pm.argmin(axis=1)
+        ex_b = jnp.take_along_axis(ex, best[:, None, None], axis=1)[:, 0]
+        ez_b = jnp.take_along_axis(ez, best[:, None, None], axis=1)[:, 0]
+        return {
+            "error": jnp.stack([ex_b, ez_b], axis=1),
+            "converged": conv.any(axis=1),
+            "iterations": iters.reshape(B, 4).sum(axis=1),
+            "min_pm": jnp.take_along_axis(pm, best[:, None], axis=1)[:, 0],
+        }
+
     def camel_decode(self, syndromes_x, syndromes_z) -> DecodeResult:
         """CAMEL: decimate the last VN to each Pauli, keep min-pm branch."""
         synds_x = np.atleast_2d(np.asarray(syndromes_x, dtype=np.uint8))
         synds_z = np.atleast_2d(np.asarray(syndromes_z, dtype=np.uint8))
-        B = synds_x.shape[0]
-        last = self.n - 1
-        # adjacency of the last variable
-        hx_adj = self.gx.vn_cn[last][self.gx.vn_valid[last]]
-        hz_adj = self.gz.vn_cn[last][self.gz.vn_valid[last]]
+        if self._camel_jit is None:
+            import jax
 
-        reps_x = np.repeat(synds_x, 4, axis=0)
-        reps_z = np.repeat(synds_z, 4, axis=0)
-        values = np.tile(np.arange(4, dtype=np.int8), B)
-        vn_state = np.full((4 * B, self.n), -1, dtype=np.int8)
-        vn_state[:, last] = values
-        cn_x = reps_x.astype(np.int8).copy()
-        cn_z = reps_z.astype(np.int8).copy()
-        zcomp = values // 2
-        xcomp = values % 2
-        cn_x[:, hx_adj] ^= zcomp[:, None]
-        cn_z[:, hz_adj] ^= xcomp[:, None]
-
-        (mvx, mvz, lprx, lpry, lprz, ex, ez, done, iters) = self._run_bp4(
-            jnp.asarray(reps_x),
-            jnp.asarray(reps_z),
-            jnp.asarray(vn_state),
-            jnp.asarray(cn_x),
-            jnp.asarray(cn_z),
-        )
-        conv = np.asarray(done).reshape(B, 4)
-        ex = np.asarray(ex).astype(np.uint8).reshape(B, 4, self.n)
-        ez = np.asarray(ez).astype(np.uint8).reshape(B, 4, self.n)
-        pm = self._cal_pm(
-            ex.reshape(-1, self.n), ez.reshape(-1, self.n)
-        ).reshape(B, 4)
-        pm = np.where(conv, pm, 1e4)
-        best = pm.argmin(axis=1)
-        sel = np.arange(B)
-        error = np.stack([ex[sel, best], ez[sel, best]], axis=1)
+            self._camel_jit = jax.jit(self.camel_core)
+        out = self._camel_jit(jnp.asarray(synds_x), jnp.asarray(synds_z))
         return DecodeResult(
-            error=error,
-            converged=conv.any(axis=1),
-            iterations=np.asarray(iters).reshape(B, 4).sum(axis=1),
-            min_pm=pm[sel, best].astype(np.float32),
+            error=np.asarray(out["error"]),
+            converged=np.asarray(out["converged"]),
+            iterations=np.asarray(out["iterations"]),
+            min_pm=np.asarray(out["min_pm"]).astype(np.float32),
         )
