@@ -84,7 +84,8 @@ def main():
             gdg_factor=0.625, max_iter_per_step=6, max_step=40,
             max_tree_depth=4, max_side_depth=20, max_tree_branch_step=30,
             max_side_branch_step=20, new_n=code.N, low_error_mode=True,
-            ensemble_bucket=64,
+            ensemble_bucket=int(os.environ.get("SWD_RARE_BUCKET", 256)),
+            ensemble_mode=os.environ.get("SWD_GDG_MODE", "spans"),
         )
     hz_perp_T = code.hz_perp.T.astype(np.int64)  # harness/code_capacity.py:40
 
