@@ -84,17 +84,13 @@ def run_gdg(name, shots, seed, *, N, p, r, W, F, max_iter=200,
             ref_shots=1, ref2=None, ensemble_bucket=None, gdg_kwargs=None):
     from slidingwindowdecoder_tpu.harness.circuit_level import sliding_window_gdg
 
-    # The W>=4 window graphs crash the TPU worker in the FUSED ensemble
-    # (any bucket size, both loop forms); the span-compacted mode is a
-    # restructured program that survives there (tools/probe_gdg_w4_spans.py:
-    # bit-identical to host_loop and ~6x faster). W=3 and code-capacity
-    # graphs are fine fused.
-    mode = "spans" if W >= 4 else "fused"
-    mode = os.environ.get("SWD_GDG_MODE", mode)  # host_loop fallback hook
+    # Span-compacted ensemble everywhere: ~2.5x the fused throughput on
+    # W=3 (tools/probe_gdg_perf.py: 521 vs 207 shots/s per window) and the
+    # only full-speed mode that survives the W>=4 graphs' fused-loop
+    # worker crash (docs/GDG_W4_CRASH.md).
+    mode = os.environ.get("SWD_GDG_MODE", "spans")  # host_loop fallback
     if ensemble_bucket is None:
-        ensemble_bucket = 256 if W >= 4 else 64
-        if mode == "host_loop":
-            ensemble_bucket = 64
+        ensemble_bucket = 64 if mode == "host_loop" else 256
     res = sliding_window_gdg(
         N=N, p=p, num_repeat=r, num_shots=shots, max_iter=max_iter, W=W, F=F,
         last_win_osd=last_win_osd, low_error_mode=low_error_mode, seed=seed,
