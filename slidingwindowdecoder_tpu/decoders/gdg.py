@@ -542,8 +542,6 @@ def gdg_ensemble_spans(
     Results are identical to ``gdg_ensemble``: boundary buckets may
     straddle finished rows, whose state the step function freezes
     (``active = ~halted & (d < budget_row)``)."""
-    from .bposd import _divisor_bucket
-
     BK, m = syndrome.shape
     carry, synd, llr_b, branch_of_row, rank_b = _ensemble_init(
         garr, llr, syndrome, scan_rank, vn_state0, cn_state0, cn_degree0,
@@ -551,12 +549,27 @@ def gdg_ensemble_spans(
     )
     budget_row = budget[branch_of_row]
     BN = BK * NB
-    bucket = _divisor_bucket(BN, row_bucket)
+    # largest divisor of BN <= row_bucket (gcd under-shoots badly: e.g.
+    # gcd(5632, 2048) = 512 where 1408 divides 5632 — 3x the bucket-walk
+    # iterations, each paying a full gather/scatter of the row state)
+    bucket = next(d for d in range(min(row_bucket, BN), 0, -1) if BN % d == 0)
     n = garr["vn_valid"].shape[0]
     llr_c = jnp.broadcast_to(llr, (bucket, n))  # rows share the prior
 
     d0 = 0
     for sp in spans:
+        if bucket == BN:
+            # one bucket covers the whole pool: compaction can't drop any
+            # work — run the steps directly, no sort / gather / scatter
+            for dd in range(sp):
+                carry = _ensemble_step(
+                    garr, llr_b, synd, rank_b, branch_of_row, budget_row,
+                    flip_now, reinit, A_arr, Asum_arr, jnp.int32(d0 + dd),
+                    carry, num_iter=num_iter, alpha=alpha, clip=clip,
+                    low_error_mode=low_error_mode, msg_dtype=msg_dtype,
+                )
+            d0 += sp
+            continue
         finished = carry[7] | (d0 >= budget_row)
         order = jnp.argsort(finished, stable=True).astype(jnp.int32)
         n_todo = jnp.sum((~finished).astype(jnp.int32))
@@ -565,9 +578,19 @@ def gdg_ensemble_spans(
             b, carry = state
             idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
             take = lambda a: jnp.take(a, idx, axis=0)
-            # mv/history (carry[0:2]) are slot-major with the row axis LAST
+            # mv/history (carry[0:2]) are slot-major with the row axis
+            # LAST (the TPU lane axis). A dynamic gather along the lane
+            # axis executes pathologically on this backend (~30x the
+            # in-situ last-window time, tools/probe_gdg_insitu.py), so
+            # route it through explicit transposes: move rows to the
+            # major axis, gather there, move back — full-bandwidth
+            # copies instead of a lane-axis relayout.
+            def take_sm(a):
+                t = jnp.moveaxis(a, -1, 0)
+                return jnp.moveaxis(jnp.take(t, idx, axis=0), 0, -1)
+
             sub = tuple(
-                jnp.take(a, idx, axis=-1) if i < 2 else take(a)
+                take_sm(a) if i < 2 else take(a)
                 for i, a in enumerate(carry)
             )
             synd_c = take(synd)
@@ -581,8 +604,13 @@ def gdg_ensemble_spans(
                     num_iter=num_iter, alpha=alpha, clip=clip,
                     low_error_mode=low_error_mode, msg_dtype=msg_dtype,
                 )
+            def scatter_sm(a, s):
+                at = jnp.moveaxis(a, -1, 0)
+                st = jnp.moveaxis(s, -1, 0)
+                return jnp.moveaxis(at.at[idx].set(st), 0, -1)
+
             carry = tuple(
-                a.at[:, :, idx].set(s) if i < 2 else a.at[idx].set(s)
+                scatter_sm(a, s) if i < 2 else a.at[idx].set(s)
                 for i, (a, s) in enumerate(zip(carry, sub))
             )
             return (b + 1, carry)

@@ -269,6 +269,7 @@ def sliding_window_gdg(
     last_win_bp_factor: float = 1.0,
     ensemble_bucket: int = 64,
     ensemble_mode: str = "fused",
+    ensemble_spans=None,
     msg_dtype: str = "float32",
     seed: int | None = None,
     verbose: bool = True,
@@ -307,6 +308,7 @@ def sliding_window_gdg(
             low_error_mode=low_error_mode,
             ensemble_bucket=ensemble_bucket,
             ensemble_mode=ensemble_mode,
+            ensemble_spans=ensemble_spans,
             msg_dtype=msg_dtype,
         )
 

@@ -37,6 +37,11 @@ def main():
         "spans256": dict(ensemble_mode="spans", ensemble_bucket=256),
         "spans64": dict(ensemble_mode="spans", ensemble_bucket=64),
         "fused64": dict(ensemble_mode="fused", ensemble_bucket=64),
+        # span-count isolation: one span == fused work + ONE compaction
+        "spans64_one": dict(ensemble_mode="spans", ensemble_bucket=64,
+                            ensemble_spans=(25,)),
+        "spans64_two": dict(ensemble_mode="spans", ensemble_bucket=64,
+                            ensemble_spans=(13, 12)),
     }
     for name in args.configs.split(","):
         t0 = time.perf_counter()
