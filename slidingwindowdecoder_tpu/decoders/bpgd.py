@@ -46,8 +46,8 @@ def bpgd_loop(
     halted = dead
     converged = jnp.zeros((B,), bool)
 
-    def step(d, carry):
-        (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
+    def step(carry):
+        (d, mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
          converged, iters) = carry
         active = ~halted
         mv, history, error, bp_done, iters = bp_run(
@@ -80,13 +80,18 @@ def bpgd_loop(
         )
         halted = halted | dead
         error = jnp.where(vn_state != -1, vn_state, error)
-        return (mv, history, error, vn_state, cn_state, cn_degree, dead,
-                halted, converged, iters)
+        return (d + 1, mv, history, error, vn_state, cn_state, cn_degree,
+                dead, halted, converged, iters)
 
-    carry = (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
-             converged, iters)
-    carry = jax.lax.fori_loop(0, max_step, step, carry)
-    (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
+    # early exit once every shot has halted: a step only mutates active
+    # shots, so the result is bit-identical to the full max_step unroll
+    # (the reference's per-shot loop breaks the same way, pyx:540-552)
+    carry = (jnp.int32(0), mv, history, error, vn_state, cn_state, cn_degree,
+             dead, halted, converged, iters)
+    carry = jax.lax.while_loop(
+        lambda c: (c[0] < max_step) & ~jnp.all(c[8]), step, carry
+    )
+    (_, mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
      converged, iters) = carry
     pm = jnp.sum(llr_b * (error == 1), axis=-1)
     return {
@@ -154,56 +159,109 @@ class BPGD:
             )
         return vn_state, cn_state, cn_degree, dead
 
-    def decode_batch(self, syndromes) -> DecodeResult:
-        syndromes, _ = as_batch(syndromes, self.m)
-        B = syndromes.shape[0]
-        Bp = pad_pow2(B)
-        synds = np.zeros((Bp, self.m), dtype=np.uint8)
-        synds[:B] = syndromes
+    def core(self, synds):
+        """Pure device-side decode: traceable under jit / shard_map.
+
+        Pre-BP on the full batch, then the guided-decimation loop only on
+        the survivors, walked in sorted fixed-size buckets (the BPOSD
+        compaction pattern): survivors sort to the front, light-syndrome
+        shots together, and each bucket's decimation while_loop exits as
+        soon as all of its shots halt — so the batch pays the per-bucket
+        worst case, not ``max_step`` everywhere (the reference's per-shot
+        early break, bp_guessing_decoder.pyx:540-552, recovered batched).
+        """
+        B = synds.shape[0]
+        synds = synds.astype(jnp.uint8)
         pre = decode_bp(
             self.garr,
             self._llr_dev,
-            jnp.asarray(synds),
+            synds,
             num_iter=self.max_iter,
             alpha=self.alpha,
             clip=self.clip,
         )
-        converged = np.asarray(pre["converged"])[:B].copy()
-        error = np.asarray(pre["error"]).astype(np.uint8)[:B]
-        iters = np.asarray(pre["iterations"])[:B].copy()
-        min_pm = (error * self.llr[None, :]).sum(axis=1).astype(np.float32)
+        done = pre["converged"]
+        error = pre["error"].astype(jnp.uint8)
+        iters = pre["iterations"]
+        min_pm = jnp.sum(
+            jnp.where(error == 1, self._llr_dev[None, :], 0.0), axis=-1
+        )
+        llr_sum = pre["llr_sum"]
 
-        todo = np.nonzero(~converged)[0]
-        if len(todo):
-            llr_sum = np.asarray(pre["llr_sum"])[:B]
-            bucket = min(self.bucket, pad_pow2(len(todo), floor=8))
-            for lo in range(0, len(todo), bucket):
-                chunk = todo[lo : lo + bucket]
-                s = np.zeros((bucket, self.m), dtype=np.uint8)
-                ls = np.zeros((bucket, self.n), dtype=np.float32)
-                s[: len(chunk)] = syndromes[chunk]
-                ls[: len(chunk)] = llr_sum[chunk]
-                vn0, cn0, cd0, dead0 = self._shorten_state(s, ls)
-                out = bpgd_loop(
-                    self.garr,
-                    self._llr_dev,
-                    jnp.asarray(s),
-                    vn0,
-                    cn0,
-                    cd0,
-                    dead0,
-                    num_iter=self.num_iter_per_step,
-                    max_step=self.max_step,
-                    alpha=self.gd_factor,
-                    clip=self.clip,
-                )
-                error[chunk] = np.asarray(out["error"])[: len(chunk)]
-                converged[chunk] = np.asarray(out["converged"])[: len(chunk)]
-                min_pm[chunk] = np.asarray(out["min_pm"])[: len(chunk)]
-                iters[chunk] += np.asarray(out["iterations"])[: len(chunk)]
+        bucket = min(self.bucket, B)
+        while B % bucket:
+            bucket -= 1
+        synd_weight = jnp.sum(synds, axis=1, dtype=jnp.int32)
+        key = done.astype(jnp.int32) * jnp.int32(self.m + 2) + synd_weight
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        n_todo = jnp.sum((~done).astype(jnp.int32))
 
+        def body(carry):
+            b, error, done, min_pm, iters = carry
+            idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
+            take = lambda a: jnp.take(a, idx, axis=0)
+            s = take(synds)
+            vn0, cn0, cd0, dead0 = self._shorten_state(s, take(llr_sum))
+            out = bpgd_loop(
+                self.garr,
+                self._llr_dev,
+                s,
+                vn0,
+                cn0,
+                cd0,
+                dead0,
+                num_iter=self.num_iter_per_step,
+                max_step=self.max_step,
+                alpha=self.gd_factor,
+                clip=self.clip,
+            )
+            # boundary buckets may straddle converged shots: keep theirs
+            done_c = take(done)
+            err_new = jnp.where(done_c[:, None], take(error), out["error"])
+            pm_new = jnp.where(done_c, take(min_pm), out["min_pm"])
+            conv_new = jnp.where(done_c, True, out["converged"])
+            it_new = take(iters) + jnp.where(done_c, 0, out["iterations"])
+            return (
+                b + 1,
+                error.at[idx].set(err_new),
+                done.at[idx].set(conv_new),
+                min_pm.at[idx].set(pm_new),
+                iters.at[idx].set(it_new),
+            )
+
+        _, error, done, min_pm, iters = jax.lax.while_loop(
+            lambda c: c[0] * bucket < n_todo,
+            body,
+            (jnp.int32(0), error, done, min_pm, iters),
+        )
+        return {
+            "error": error,
+            "converged": done,
+            "iterations": iters,
+            "min_pm": min_pm,
+        }
+
+    def decode_batch_device(self, synds):
+        """Jitted ``core``: one device program per batch shape."""
+        if not hasattr(self, "_core_jit"):
+            self._core_jit = jax.jit(self.core)
+        return self._core_jit(synds)
+
+    def decode_batch(self, syndromes) -> DecodeResult:
+        syndromes, _ = as_batch(syndromes, self.m)
+        B = syndromes.shape[0]
+        Bp = max(B, pad_pow2(min(B, self.bucket), floor=8))
+        Bp = -(-Bp // min(self.bucket, Bp)) * min(self.bucket, Bp)
+        if Bp != B:
+            syndromes = np.concatenate(
+                [syndromes, np.zeros((Bp - B, self.m), syndromes.dtype)]
+            )
+        out = self.decode_batch_device(jnp.asarray(syndromes, jnp.uint8))
         return DecodeResult(
-            error=error, converged=converged, iterations=iters, min_pm=min_pm
+            error=np.asarray(out["error"])[:B],
+            converged=np.asarray(out["converged"])[:B],
+            iterations=np.asarray(out["iterations"])[:B],
+            min_pm=np.asarray(out["min_pm"])[:B],
         )
 
     def decode(self, syndrome) -> np.ndarray:

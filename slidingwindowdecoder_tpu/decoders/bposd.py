@@ -49,8 +49,13 @@ from .base import DecodeResult, as_batch
 
 def _divisor_bucket(B: int, want: int) -> int:
     """Largest bucket size <= want that divides B (so the sorted-bucket
-    walk never overlaps a processed shot; trace-time, B/want static)."""
-    return max(1, math.gcd(B, max(1, min(want, B))))
+    walk never overlaps a processed shot; trace-time, B/want static).
+
+    A true largest-divisor search, not gcd: gcd(5632, 2048) = 512 but the
+    largest divisor of 5632 that is <= 2048 is 1408 — gcd badly
+    under-buckets non-power-of-two batches (worst case prime B -> 1)."""
+    want = max(1, min(want, B))
+    return next(d for d in range(want, 0, -1) if B % d == 0)
 
 
 class BPOSD:
@@ -363,7 +368,20 @@ class BPOSD:
 
     def decode_batch(self, syndromes) -> DecodeResult:
         syndromes, _ = as_batch(syndromes, self.m)
+        B = syndromes.shape[0]
+        # pad to a bucket multiple so the compacted walks use full-size
+        # buckets (an awkward B would otherwise force a smaller divisor
+        # bucket); zero-syndrome pad rows converge on their first phase-A
+        # iteration and never enter a bucket
+        pad_to = max(self.bp_bucket, self.osd_bucket)
+        B_pad = -(-B // pad_to) * pad_to if B > pad_to else B
+        if B_pad != B:
+            syndromes = np.concatenate(
+                [syndromes, np.zeros((B_pad - B, self.m), syndromes.dtype)]
+            )
         out = self.decode_batch_device(jnp.asarray(syndromes, jnp.uint8))
+        if B_pad != B:
+            out = {k: v[:B] for k, v in out.items()}
         return DecodeResult(
             error=np.asarray(out["error"]),
             converged=np.asarray(out["converged"]),

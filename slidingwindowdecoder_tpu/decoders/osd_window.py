@@ -48,6 +48,7 @@ class OSDWindow:
         osd_order: int = 0,
         clip: float = 50.0,
         bucket: int = 512,
+        osd_bucket: int = 256,
         gj_engine: str = "auto",
     ):
         pcm = np.asarray(pcm)
@@ -61,6 +62,7 @@ class OSDWindow:
         self.clip = float(clip)
         self.new_n = min(self.n, 2 * self.m) if new_n is None else min(new_n, self.n)
         self.bucket = int(bucket)
+        self.osd_bucket = int(osd_bucket)
 
         method = str(osd_method).lower()
         if method in ("osd_0", "osd0", "0"):
@@ -104,11 +106,13 @@ class OSDWindow:
             error, done, iters, num_iter=n_it, alpha=self.alpha, clip=self.clip,
         )
 
-    def _shorten_post_osd(self, synd_c, hist_c):
-        """One compacted bucket: shorten -> post-BP -> OSD (fixed shape).
+    def _shorten_post(self, synd_c, hist_c):
+        """One compacted bucket: shorten -> post-BP (fixed shape).
 
-        Returns (final error [b, n] int8, post_conv, iters, osd mask).
-        Per-shot results are independent of the other shots in the bucket.
+        Returns (error [b, n] int8, post_conv, dead, iters, rel) where
+        ``rel`` is the OSD reliability order (post-BP history sum, decided
+        columns pinned to ±PIN). Per-shot results are independent of the
+        other shots in the bucket.
         """
         bucket = synd_c.shape[0]
         n = self.n
@@ -128,38 +132,35 @@ class OSDWindow:
         )
         vn_c, cn_c, cd_c, dead_c = peel(self.garr, vn_c, cn_c, cd_c, dead_c)
 
-        # (3) post-BP on the masked graph, fresh messages and history
+        # (3) post-BP on the masked graph, fresh messages and history.
+        # Messages are discarded after this call and only non-converged
+        # shots' histories feed OSD, so the converged-shot freeze and the
+        # pre-tail history writes are skipped (same argument as BPOSD).
         mv_c = bp_init_messages(self.garr, self._llr_dev, bucket)
         hist2 = jnp.zeros((bucket, n, 4), jnp.float32)
         err_c = jnp.where(vn_c != -1, vn_c, jnp.int8(0))
         it_c = jnp.zeros((bucket,), jnp.int32)
-        mv_c, hist2, err_c, done_c, it_c = self._bp(
-            mv_c, synd_c, vn_c, cn_c, hist2, err_c, dead_c, it_c,
-            self.post_max_iter,
+        mv_c, hist2, err_c, done_c, it_c = bp_run(
+            self.garr, mv_c, self._llr_dev, synd_c, vn_c, cn_c, hist2,
+            err_c, dead_c, it_c, num_iter=self.post_max_iter,
+            alpha=self.alpha, clip=self.clip, freeze_messages=False,
+            history_mode="tail",
         )
         # dead shots keep the (partially decimated) BP decision
         post_conv = done_c & ~dead_c
 
-        # (4) OSD for the rest, reliability pinned by decisions
         rel = jnp.sum(hist2, axis=-1)
         rel = jnp.where(vn_c == 1, -PIN, jnp.where(vn_c == 0, PIN, rel))
-        osd = osd_decode(
-            self.H_words, synd_c, rel, self._llr_dev, self.patterns,
-            m=self.m, n=n, rank=self.rank, k=self.k, meta=self._osd_meta,
-            engine=self.gj_engine,
-        )
-        use_osd = ~post_conv & ~dead_c
-        final = jnp.where(
-            use_osd[:, None], osd["solution"].astype(jnp.int8), err_c
-        )
-        return final, post_conv, it_c, use_osd
+        return err_c, post_conv, dead_c, it_c, rel
 
     def core(self, synds):
         """Pure device-side decode: traceable under jit / shard_map, no
         host syncs (the reference contract is osd_window.pyx:158-284).
-        Unconverged shots are compacted to the front (sorted bucket walk,
-        same scheme as BPOSD.core) and each bucket runs the fixed-shape
-        shorten -> post-BP -> OSD program."""
+        Two compacted sorted-bucket walks, as in BPOSD.core: pre-BP
+        survivors run shorten+post-BP in buckets; the (much rarer)
+        post-BP survivors then run the expensive OSD in their own smaller
+        buckets — the previous single walk ran the full OSD on every
+        post-BP bucket even when post-BP converged everything."""
         import jax
 
         from .bposd import _divisor_bucket
@@ -178,41 +179,74 @@ class OSDWindow:
             self.pre_max_iter,
         )
         error = error.astype(jnp.int8)
-        osd_applied = jnp.zeros((B,), bool)
 
+        # --- walk 1: shorten + post-BP over pre-BP survivors ---------------
         bucket = _divisor_bucket(B, self.bucket)
         synd_weight = jnp.sum(synds, axis=1, dtype=jnp.int32)
         key = done.astype(jnp.int32) * jnp.int32(self.m + 2) + synd_weight
         order = jnp.argsort(key, stable=True).astype(jnp.int32)
         n_todo = jnp.sum((~done).astype(jnp.int32))
+        rel = jnp.zeros((B, n), jnp.float32)
+        dead = jnp.zeros((B,), bool)
 
         def body(carry):
-            b, error, done, iters, osd_applied = carry
+            b, error, done, iters, rel, dead = carry
             idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
             take = lambda a: jnp.take(a, idx, axis=0)
             synd_c = take(synds)
             done_c = take(done)
-            final, post_conv, it_c, use_osd = self._shorten_post_osd(
+            err_c, post_conv, dead_c, it_c, rel_c = self._shorten_post(
                 synd_c, take(history)
             )
             # boundary buckets may straddle converged shots: keep theirs
-            err_new = jnp.where(done_c[:, None], take(error), final)
+            err_new = jnp.where(done_c[:, None], take(error), err_c)
             done_new = done_c | post_conv
             it_new = take(iters) + jnp.where(done_c, 0, it_c)
-            osd_new = jnp.where(done_c, take(osd_applied), use_osd)
+            dead_new = jnp.where(done_c, False, dead_c)
             return (
                 b + 1,
                 error.at[idx].set(err_new),
                 done.at[idx].set(done_new),
                 iters.at[idx].set(it_new),
-                osd_applied.at[idx].set(osd_new),
+                rel.at[idx].set(rel_c),
+                dead.at[idx].set(dead_new),
             )
 
-        _, error, done, iters, osd_applied = jax.lax.while_loop(
+        _, error, done, iters, rel, dead = jax.lax.while_loop(
             lambda c: c[0] * bucket < n_todo,
             body,
-            (jnp.int32(0), error, done, iters, osd_applied),
+            (jnp.int32(0), error, done, iters, rel, dead),
         )
+
+        # --- walk 2: OSD over post-BP survivors only -----------------------
+        # (dead shots keep the partial BP decision, as the reference's
+        # contradiction abort does, osd_window.pyx:321-343)
+        need_osd = ~done & ~dead
+        obucket = _divisor_bucket(B, self.osd_bucket)
+        order2 = jnp.argsort(~need_osd, stable=True).astype(jnp.int32)
+        n_osd = jnp.sum(need_osd.astype(jnp.int32))
+
+        def osd_body(carry):
+            b, error = carry
+            idx = jax.lax.dynamic_slice(order2, (b * obucket,), (obucket,))
+            take = lambda a: jnp.take(a, idx, axis=0)
+            osd = osd_decode(
+                self.H_words, take(synds), take(rel), self._llr_dev,
+                self.patterns, m=self.m, n=n, rank=self.rank, k=self.k,
+                meta=self._osd_meta, engine=self.gj_engine,
+            )
+            use_c = take(need_osd)
+            err_new = jnp.where(
+                use_c[:, None], osd["solution"].astype(jnp.int8), take(error)
+            )
+            return b + 1, error.at[idx].set(err_new)
+
+        _, error = jax.lax.while_loop(
+            lambda c: c[0] * obucket < n_osd,
+            osd_body,
+            (jnp.int32(0), error),
+        )
+        osd_applied = need_osd
 
         error = error.astype(jnp.uint8)
         min_pm = jnp.sum(self._llr_dev[None, :] * (error == 1), axis=-1)
@@ -233,13 +267,22 @@ class OSDWindow:
 
     def decode_batch(self, syndromes) -> DecodeResult:
         syndromes, _ = as_batch(syndromes, self.m)
+        B = syndromes.shape[0]
+        # pad to a bucket multiple: awkward B would force tiny divisor
+        # buckets; zero-syndrome pad rows converge in pre-BP immediately
+        pad_to = max(self.bucket, self.osd_bucket)
+        B_pad = -(-B // pad_to) * pad_to if B > pad_to else B
+        if B_pad != B:
+            syndromes = np.concatenate(
+                [syndromes, np.zeros((B_pad - B, self.m), syndromes.dtype)]
+            )
         out = self.decode_batch_device(jnp.asarray(syndromes, jnp.uint8))
         return DecodeResult(
-            error=np.asarray(out["error"]),
-            converged=np.asarray(out["converged"]),
-            iterations=np.asarray(out["iterations"]),
-            min_pm=np.asarray(out["min_pm"]),
-            osd_applied=np.asarray(out["osd_applied"]),
+            error=np.asarray(out["error"])[:B],
+            converged=np.asarray(out["converged"])[:B],
+            iterations=np.asarray(out["iterations"])[:B],
+            min_pm=np.asarray(out["min_pm"])[:B],
+            osd_applied=np.asarray(out["osd_applied"])[:B],
         )
 
     def decode(self, syndrome) -> np.ndarray:

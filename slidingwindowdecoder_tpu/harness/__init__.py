@@ -1,4 +1,5 @@
 from .code_capacity import data_qubit_noise_decoding
+from .device_campaign import make_cc_step, run_cc_campaign_device
 from .circuit_level import (
     build_bb_window_experiment,
     global_decoder,

@@ -30,6 +30,7 @@ class HostRecovery:
     num_batches: int
     counts: dict
     stale_seconds: float | None  # None = no checkpoint file yet
+    lost: bool = False  # set when plan_recovery is given stale_after
 
     @property
     def complete(self) -> bool:
@@ -51,10 +52,12 @@ def plan_recovery(
 ) -> dict[int, HostRecovery]:
     """Coordinator view of a (possibly interrupted) multi-host sweep.
 
-    Returns per-host recovery records. With ``stale_after`` set, a host
-    whose checkpoint has not been touched for that many seconds counts as
-    lost even mid-range (mtime heartbeat); its ``remaining_batches`` plus
-    the persisted counts are everything a replacement needs.
+    Returns per-host recovery records. With ``stale_after`` set, an
+    incomplete host whose checkpoint has not been touched for that many
+    seconds (relative to ``now``, default wall clock) gets ``lost=True``
+    even mid-range (mtime heartbeat); its ``remaining_batches`` plus the
+    persisted counts are everything a replacement needs. ``lost_hosts``
+    applies the same rule to an existing plan.
     """
     from .distributed import host_shot_range
 
@@ -75,12 +78,19 @@ def plan_recovery(
                 stale = now - os.path.getmtime(ckpt._file)
             except OSError:
                 stale = None
+        incomplete = done < num_batches
+        lost = (
+            stale_after is not None
+            and incomplete
+            and (stale is None or stale > stale_after)
+        )
         out[pid] = HostRecovery(
             process_id=pid,
             batches_done=done,
             num_batches=num_batches,
             counts=counts,
             stale_seconds=stale,
+            lost=lost,
         )
     return out
 

@@ -97,7 +97,7 @@ def main():
         pre = decode_bp(dec.garr, dec._llr_dev, s, num_iter=args.max_iter,
                         alpha=dec.alpha)
         vn0, cn0, cd0, dead0, order = dec._shorten_state(s, pre["llr_sum"])
-        out = dec._run_ensemble(s, vn0, cn0, cd0, dead0)
+        out = dec._run_ensemble(s, order, vn0, cn0, cd0, dead0)
         jax.block_until_ready(out["error"])
         log(f"ensemble ok: converged {int(out['converged'].sum())}/{args.bucket}")
     elif args.stage == "core":
@@ -151,8 +151,8 @@ def main():
             A_sum = tb["A_sum"][branch_of_row, d]
             (vn_state, cn_state, cn_degree, dead, guess_vn, favor,
              has_cand) = G._select_and_decimate(
-                dec.garr, history, error, synd_t, vn_state, cn_state,
-                cn_degree, dead, active, A, A_sum,
+                dec.garr, G._hist_stats_bm(history), error, synd_t, vn_state,
+                cn_state, cn_degree, dead, active, A, A_sum,
                 jnp.broadcast_to(d < 4, active.shape),
                 low_error_mode=False, vn_deg=dec.garr["vn_degree"],
             )
