@@ -177,6 +177,34 @@ def main() -> None:
         f"mean {nonconv.mean():.0f} ({nonconv.mean() / shots:.2%})"
     )
 
+    # roofline pass: per-iteration wall time of the BP kernel on a
+    # representative middle window at the bench batch, against the chip's
+    # HBM roofline (reference anchor: FAQ.md:44 "200 iterations ~ 2 ms")
+    log("roofline pass (BP kernel, middle window, bench batch) ...")
+    import jax.numpy as jnp
+
+    from slidingwindowdecoder_tpu.graphs.tanner import (
+        compile_graph,
+        graph_device_arrays,
+    )
+    from slidingwindowdecoder_tpu.utils.roofline import measure_bp_roofline
+
+    spec = plan.windows[min(1, plan.num_windows - 1)]
+    rgraph = compile_graph(spec.mat)
+    rgarr = graph_device_arrays(rgraph)
+    rllr = jnp.asarray(
+        np.log((1 - spec.prior) / spec.prior).astype(np.float32)
+    )
+    rsynds = jnp.asarray(det[:, spec.row_start : spec.row_end], jnp.uint8)
+    roof = measure_bp_roofline(rgarr, rgraph, rllr, rsynds,
+                               msg_dtype="bfloat16")
+    log(
+        f"BP iter {roof['bp_iter_ms']:.3f} ms at B={shots}: "
+        f"{roof['achieved_gbytes_per_s']} GB/s = {roof['hbm_bw_frac']:.0%} "
+        f"of {roof['chip']} HBM; MFU {roof['mfu']:.2%} (no matmuls — "
+        f"bandwidth-bound); headroom {roof['roofline_headroom_x']}x"
+    )
+
     print(
         json.dumps(
             {
@@ -194,6 +222,12 @@ def main() -> None:
                     float(np.percentile(wsec, 50)) / shots * 1e6, 3
                 ),
                 "nonconverged_frac": round(float(nonconv.mean()) / shots, 5),
+                "bp_iter_ms": roof["bp_iter_ms"],
+                "achieved_gbytes_per_s": roof["achieved_gbytes_per_s"],
+                "hbm_bw_frac": roof["hbm_bw_frac"],
+                "mfu": roof["mfu"],
+                "roofline_headroom_x": roof["roofline_headroom_x"],
+                "roofline_chip": roof["chip"],
             }
         )
     )

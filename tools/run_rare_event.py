@@ -84,20 +84,24 @@ def main():
             gdg_factor=0.625, max_iter_per_step=6, max_step=40,
             max_tree_depth=4, max_side_depth=20, max_tree_branch_step=30,
             max_side_branch_step=20, new_n=code.N, low_error_mode=True,
-            ensemble_bucket=int(os.environ.get("SWD_RARE_BUCKET", 256)),
+            ensemble_bucket=int(os.environ.get("SWD_RARE_BUCKET", 1024)),
             ensemble_mode=os.environ.get("SWD_GDG_MODE", "spans"),
         )
-    hz_perp_T = code.hz_perp.T.astype(np.int64)  # harness/code_capacity.py:40
+    # fully device-resident batch step (sample -> decode -> logical count
+    # on chip, ~8 bytes host traffic per batch); RNG is a pure function of
+    # (seed, batch_index), so interrupt/resume replays identical streams
+    import jax.numpy as jnp
+
+    from slidingwindowdecoder_tpu.harness.device_campaign import make_cc_step
+
+    step = make_cc_step(code, p, dec, args.batch, seed=args.seed)
 
     def run_batch(idx, shots, rng):
-        errs = (rng.random((shots, code.N)) < p).astype(np.uint8)
-        synds = ((errs @ code.hx.T) % 2).astype(np.uint8)
-        res = dec.decode_batch(synds)
-        e_diff = (res.error ^ errs) % 2
-        logical = ((e_diff @ hz_perp_T) % 2).any(axis=1)
+        failed, _ = step(jnp.int32(idx), jnp.int32(shots))
+        failed = int(failed)
         if idx % 10 == 0:
-            log(f"batch {idx}: +{int(logical.sum())} fails")
-        return {"failed": int(logical.sum()), "shots": shots}
+            log(f"batch {idx}: +{failed} fails")
+        return {"failed": failed, "shots": shots}
 
     if args.stop_after_batches is not None:
         calls = {"n": 0}

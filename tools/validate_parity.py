@@ -137,8 +137,8 @@ def run_code_capacity(name, shots, seed, *, N, p, which, ref,
     24 at ms 0.625, new_n=N); BPGD uses Misc.ipynb cell 10.
     """
     from slidingwindowdecoder_tpu.decoders import BPGD, BPOSD, GDG
-    from slidingwindowdecoder_tpu.harness.code_capacity import (
-        data_qubit_noise_decoding,
+    from slidingwindowdecoder_tpu.harness.device_campaign import (
+        run_cc_campaign_device,
     )
 
     code = _make_code(N)
@@ -157,7 +157,9 @@ def run_code_capacity(name, shots, seed, *, N, p, which, ref,
             max_iter_per_step=6, max_step=40, max_tree_depth=4,
             max_side_depth=20, max_tree_branch_step=30,
             max_side_branch_step=20, new_n=code.N, low_error_mode=True,
-            ensemble_bucket=64,
+            # chip-measured: 17.1k shots/s at bucket 1024 vs 12.5k at 256
+            # (tools/bench_cc_device.py, 1e6 shots, batch 65536)
+            ensemble_bucket=1024, ensemble_mode="spans",
         )
         kw.update(gdg_kwargs or {})
         dec = GDG(code.hx, priors, **kw)
@@ -167,10 +169,16 @@ def run_code_capacity(name, shots, seed, *, N, p, which, ref,
         kw.update(bpgd_kwargs or {})
         dec = BPGD(code.hx, priors, **kw)
     t0 = time.perf_counter()
-    res = data_qubit_noise_decoding(
-        code, p, shots, {which: dec}, batch_size=16384, seed=seed,
-        verbose=True,
-    )[which]
+    # device-resident campaign: sample/syndrome/decode/logical-check in one
+    # jitted program per batch (harness/device_campaign.py) — the host
+    # harness's numpy matmuls capped cc throughput near 30k shots/s
+    res = run_cc_campaign_device(
+        code, p, shots, dec, batch=min(65536, shots), seed=seed,
+        verbose=True, name=name,
+    )
+    print(f"{name}: {res['num_err']}/{shots} logical errors "
+          f"(LER {res['ler']:.3e}), {res['num_flagged']} flagged, "
+          f"{res['shots_per_sec']:.1f} shots/s", file=sys.stderr, flush=True)
     return _verdict(name, res["num_err"], shots, ref[0], ref[1],
                     time.perf_counter() - t0)
 
