@@ -39,6 +39,11 @@ def data_qubit_noise_decoding(
     hxT = code.hx.T.astype(np.uint8)
     hz_perp_T = code.hz_perp.T.astype(np.int64)
 
+    # warmup: compile each decoder's batch shape outside the timers
+    warm = np.zeros((min(batch_size, num_shots), code.hx.shape[0]), np.uint8)
+    for dec in decoders.values():
+        dec.decode_batch(warm)
+
     remaining = num_shots
     while remaining > 0:
         b = min(batch_size, remaining)

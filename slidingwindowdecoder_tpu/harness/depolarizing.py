@@ -57,6 +57,14 @@ def depolarizing_decoding(
 
     num_err = num_flagged = shots_done = 0
     osd0_err = 0
+    # warmup: compile the batch shape outside the timed region
+    wb = min(batch_size, num_shots)
+    warm_x = np.zeros((wb, code.hx.shape[0]), np.uint8)
+    warm_z = np.zeros((wb, code.hz.shape[0]), np.uint8)
+    if camel:
+        dec.camel_decode(warm_x, warm_z)
+    else:
+        dec.decode_batch(warm_x, warm_z)
     t0 = time.perf_counter()
     remaining = num_shots
     while remaining > 0:

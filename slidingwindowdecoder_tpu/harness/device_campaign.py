@@ -88,15 +88,22 @@ def run_cc_campaign_device(
     checkpoint_every: int = 10,
     verbose: bool = False,
     name: str = "cc",
+    warmup: bool = True,
 ):
     """Run a code-capacity campaign entirely on device.
 
     With ``checkpoint`` (a ``MonteCarloCheckpoint``) the run is
     interruptible/resumable under the standard derivation contract.
-    Returns the harness-standard result dict.
+    Returns the harness-standard result dict; ``seconds`` covers the
+    warmed campaign only (compile excluded, matching the reference's
+    decode-loop timing) unless ``warmup=False``.
     """
     step = make_cc_step(code, p, decoder, batch, seed=seed,
                         process_id=checkpoint.process_id if checkpoint else 0)
+    if warmup:
+        # compile outside the timed region: same shapes, zero valid shots
+        f, _ = step(jnp.int32(2**30), jnp.int32(0))
+        jax.block_until_ready(f)
 
     def run_batch(idx, shots, rng=None):
         failed, flagged = step(jnp.int32(idx), jnp.int32(shots))

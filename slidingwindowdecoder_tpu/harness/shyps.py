@@ -47,8 +47,8 @@ def decode_shyps(
     if verbose:
         print(f"SHYPS r={r}: chk {dem.chk.shape}, detectors/round {num_det_round}")
 
-    t0 = time.perf_counter()
     if not window:
+        import jax
         import jax.numpy as jnp
 
         bpd = BPOSD(
@@ -59,7 +59,12 @@ def decode_shyps(
             osd_method=osd_method,
             osd_order=osd_order,
         )
-        out = bpd.decode_batch_device(jnp.asarray(det))
+        det_dev = jnp.asarray(det)
+        # warmup: compile every kernel shape before the timed decode (the
+        # reference's timing is the decode loop only, SHYPS.ipynb cell 2)
+        jax.block_until_ready(bpd.decode_batch_device(det_dev)["error"])
+        t0 = time.perf_counter()
+        out = bpd.decode_batch_device(det_dev)
         e_hat = out["error"]
         chk_t = jnp.asarray(dem.chk.T, jnp.float32)
         obs_t = jnp.asarray(dem.obs.T, jnp.float32)
@@ -73,6 +78,7 @@ def decode_shyps(
         ).any(axis=1)
         num_failed = int(jnp.sum(resid | logical))
         num_flagged = int(jnp.sum(resid))
+        seconds = time.perf_counter() - t0
     else:
         plan = build_sliding_window_plan(
             dem.chk, dem.obs, dem.priors, n_half=num_det_round, W=W, F=F, method=0
@@ -87,11 +93,14 @@ def decode_shyps(
                 osd_order=osd_order,
             )
         )
+        # warmup: compile the per-window programs outside the timed region
+        decode_sliding_window(plan, det, factory, verbose=False)
+        t0 = time.perf_counter()
         out = decode_sliding_window(plan, det, factory, verbose=verbose)
+        seconds = time.perf_counter() - t0
         ev = evaluate_logical_errors(plan, det, obs, out["total_e_hat"])
         num_failed = ev["num_failed"]
         num_flagged = ev["num_flagged"]
-    seconds = time.perf_counter() - t0
 
     p_l = num_failed / num_shots
     result = {

@@ -27,6 +27,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# campaign scripts append stdout to docs/parity_results.jsonl: the JSON
+# verdict must be the ONLY stdout line. Harness verbose prints run under
+# redirect_stdout(stderr) in main(); _verdict writes here.
+_REAL_STDOUT = sys.stdout
+
+
 def _verdict(name, fails, shots, ref_fails, ref_shots, seconds, extra=None):
     from slidingwindowdecoder_tpu.utils.metrics import rates_compatible
 
@@ -45,7 +51,7 @@ def _verdict(name, fails, shots, ref_fails, ref_shots, seconds, extra=None):
     }
     if extra:
         out.update(extra)
-    print(json.dumps(out), flush=True)
+    print(json.dumps(out), file=_REAL_STDOUT, flush=True)
     return out
 
 
@@ -207,14 +213,15 @@ def run_shyps(name, shots, seed, *, window, ref_ler_round, ref_shots):
     BP+OSD-0 (max_iter=1000); window (W,F)=(3,1) vs global."""
     from slidingwindowdecoder_tpu.harness.shyps import decode_shyps
 
-    t0 = time.perf_counter()
     res = decode_shyps(
         r=3, p=0.001, num_repeat=4, num_shots=shots, max_iter=1000,
         osd_order=0, window=window, W=3, F=1, seed=seed, verbose=True,
     )
     ref_fails = round((1 - (1 - ref_ler_round) ** 4) * ref_shots)
+    # seconds = warmed decode only (harness/shyps.py warms the compiled
+    # shapes first), matching the reference's decode-loop timing
     return _verdict(name, res["num_failed"], shots, ref_fails, ref_shots,
-                    time.perf_counter() - t0,
+                    res["seconds"],
                     {"ler_per_round": res["ler_per_round"]})
 
 
@@ -423,7 +430,10 @@ def main():
     from slidingwindowdecoder_tpu.utils.compile_cache import enable
 
     enable()
-    CONFIGS[args.config](args.shots, args.seed)
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):
+        CONFIGS[args.config](args.shots, args.seed)
 
 
 if __name__ == "__main__":
