@@ -23,7 +23,8 @@ from ..ops.decimation import init_decimation_state, peel, vn_set_values
 from .base import DecodeResult, as_batch, pad_pow2
 
 
-@partial(jax.jit, static_argnames=("num_iter", "max_step", "alpha", "clip"))
+@partial(jax.jit, static_argnames=("num_iter", "max_step", "alpha", "clip",
+                                   "msg_dtype"))
 def bpgd_loop(
     garr,
     llr,
@@ -37,61 +38,41 @@ def bpgd_loop(
     max_step: int,
     alpha: float,
     clip: float,
+    msg_dtype: str = "float32",
 ):
+    """The guided-decimation step loop with a persistent slot-major BP
+    carry: messages stay [dc, m_pad, B] in the message dtype and history
+    [n, 4, B] across the max_step bursts (io_layout='slot_major'), so the
+    per-step bp_run calls skip the batch-major entry/exit transposes of
+    the two largest arrays — the same carry scheme as the GDG ensemble."""
+    from ..ops.bp import bp_init_messages_sm
+
     B, m = syndrome.shape
     n = garr["vn_valid"].shape[0]
     llr_b = jnp.broadcast_to(llr, (B, n))
-    mv = bp_init_messages(garr, llr_b, B)
-    history, error, _, iters = fresh_bp_state(garr, B)
+    mv = bp_init_messages_sm(garr, llr, B, msg_dtype)
+    hist_t = jnp.zeros((n, 4, B), jnp.float32)
+    _, error, _, iters = fresh_bp_state(garr, B)
     halted = dead
     converged = jnp.zeros((B,), bool)
 
     def step(carry):
-        (d, mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
-         converged, iters) = carry
-        active = ~halted
-        mv, history, error, bp_done, iters = bp_run(
-            garr, mv, llr_b, syndrome, vn_state, cn_state, history, error,
-            ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
+        d = carry[0]
+        sub = _bpgd_step(
+            garr, llr_b, syndrome, carry[1:], num_iter=num_iter, alpha=alpha,
+            clip=clip, msg_dtype=msg_dtype,
         )
-        newly = bp_done & active
-        converged = converged | newly
-        halted = halted | newly
-        active = active & ~newly
-
-        # decimate the most reliable variable: largest |posterior| using
-        # history slot 3 (bpgd.cpp:269), to value (posterior > 0 ? 0 : 1)
-        post = history[..., 3]
-        score = jnp.where((vn_state == -1) & active[:, None], jnp.abs(post), -1.0)
-        vn = jnp.argmax(score, axis=-1).astype(jnp.int32)
-        has = jnp.max(score, axis=-1) >= 0.0
-        value = (post[jnp.arange(B), vn] <= 0.0).astype(jnp.int8)
-        halted = halted | (active & ~has)
-        do_set = active & has
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (B, n), 1) == vn[:, None]
-        ) & do_set[:, None]
-        vn_state, cn_state, cn_degree, dead = vn_set_values(
-            garr, vn_state, cn_state, cn_degree, dead,
-            onehot, jnp.broadcast_to(value[:, None], (B, n)),
-        )
-        vn_state, cn_state, cn_degree, dead = peel(
-            garr, vn_state, cn_state, cn_degree, dead
-        )
-        halted = halted | dead
-        error = jnp.where(vn_state != -1, vn_state, error)
-        return (d + 1, mv, history, error, vn_state, cn_state, cn_degree,
-                dead, halted, converged, iters)
+        return (d + 1, *sub)
 
     # early exit once every shot has halted: a step only mutates active
     # shots, so the result is bit-identical to the full max_step unroll
     # (the reference's per-shot loop breaks the same way, pyx:540-552)
-    carry = (jnp.int32(0), mv, history, error, vn_state, cn_state, cn_degree,
+    carry = (jnp.int32(0), mv, hist_t, error, vn_state, cn_state, cn_degree,
              dead, halted, converged, iters)
     carry = jax.lax.while_loop(
         lambda c: (c[0] < max_step) & ~jnp.all(c[8]), step, carry
     )
-    (_, mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
+    (_, mv, hist_t, error, vn_state, cn_state, cn_degree, dead, halted,
      converged, iters) = carry
     pm = jnp.sum(llr_b * (error == 1), axis=-1)
     return {
@@ -100,6 +81,192 @@ def bpgd_loop(
         "min_pm": pm,
         "iterations": iters,
     }
+
+
+def _bpgd_step(garr, llr_b, syndrome, carry, *, num_iter, alpha, clip,
+               msg_dtype):
+    """One guided-decimation step (BP burst -> decimate most-reliable ->
+    peel) on the slot-major carry. Halted rows are frozen, so running a
+    step on a finished row is a no-op — shared by the while-loop and
+    span-compacted forms."""
+    (mv, hist_t, error, vn_state, cn_state, cn_degree, dead, halted,
+     converged, iters) = carry
+    B, n = vn_state.shape
+    halted_in = halted  # rows finished before this step stay fully frozen
+    active = ~halted
+    mv, hist_t, error, bp_done, iters = bp_run(
+        garr, mv, llr_b, syndrome, vn_state, cn_state, hist_t, error,
+        ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
+        msg_dtype=msg_dtype, io_layout="slot_major",
+    )
+    newly = bp_done & active
+    converged = converged | newly
+    halted = halted | newly
+    active = active & ~newly
+
+    # decimate the most reliable variable: largest |posterior| using
+    # history slot 3 (bpgd.cpp:269), to value (posterior > 0 ? 0 : 1)
+    post = hist_t[:, 3, :].T  # [B, n]
+    score = jnp.where((vn_state == -1) & active[:, None], jnp.abs(post), -1.0)
+    vn = jnp.argmax(score, axis=-1).astype(jnp.int32)
+    has = jnp.max(score, axis=-1) >= 0.0
+    value = (post[jnp.arange(B), vn] <= 0.0).astype(jnp.int8)
+    halted = halted | (active & ~has)
+    do_set = active & has
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, n), 1) == vn[:, None]
+    ) & do_set[:, None]
+    vn_state, cn_state, cn_degree, dead = vn_set_values(
+        garr, vn_state, cn_state, cn_degree, dead,
+        onehot, jnp.broadcast_to(value[:, None], (B, n)),
+    )
+    vn_state, cn_state, cn_degree, dead = peel(
+        garr, vn_state, cn_state, cn_degree, dead
+    )
+    halted = halted | dead
+    # decided values reflected in the running error — but never for rows
+    # already finished at step entry (a compacted boundary bucket may
+    # straddle pre-converged rows whose error must survive untouched;
+    # newly-converged rows' bp_run error already includes decided VNs)
+    error = jnp.where(
+        (vn_state != -1) & ~halted_in[:, None], vn_state, error
+    )
+    return (mv, hist_t, error, vn_state, cn_state, cn_degree, dead,
+            halted, converged, iters)
+
+
+@partial(jax.jit, static_argnames=("num_iter", "alpha", "clip", "msg_dtype",
+                                   "spans", "row_bucket"))
+def bpgd_spans(
+    garr,
+    llr,
+    syndrome,
+    vn_state,
+    cn_state,
+    cn_degree,
+    dead,
+    *,
+    num_iter: int,
+    alpha: float,
+    clip: float,
+    msg_dtype: str = "float32",
+    spans: tuple = (),
+    row_bucket: int = 2048,
+    error0=None,
+    halted0=None,
+    converged0=None,
+):
+    """Span-compacted decimation loop: the depth loop is cut into static
+    ``spans`` with a row re-compaction between them — halted shots are
+    sorted out of the walk, so the pool shrinks as shots converge instead
+    of every bucket paying its slowest member to the end (the same scheme
+    as gdg_ensemble_spans, with a single lane per shot). Results are
+    bit-identical to ``bpgd_loop``: steps freeze finished rows, and each
+    bucket's inner while exits early once all of its rows halt.
+
+    ``error0/halted0/converged0`` seed rows that finished before the loop
+    (pre-BP convergence): they are never gathered into a bucket and carry
+    their state through untouched."""
+    B, m = syndrome.shape
+    n = garr["vn_valid"].shape[0]
+    from ..ops.bp import bp_init_messages_sm
+
+    mv = bp_init_messages_sm(garr, llr, B, msg_dtype)
+    hist_t = jnp.zeros((n, 4, B), jnp.float32)
+    _, error, _, iters = fresh_bp_state(garr, B)
+    if error0 is not None:
+        error = error0.astype(jnp.int8)
+    halted = dead if halted0 is None else (halted0 | dead)
+    converged = (
+        jnp.zeros((B,), bool) if converged0 is None else converged0
+    )
+    carry = (mv, hist_t, error, vn_state, cn_state, cn_degree, dead, halted,
+             converged, iters)
+    bucket = next(d for d in range(min(row_bucket, B), 0, -1) if B % d == 0)
+    llr_c = jnp.broadcast_to(llr, (bucket, n))
+    llr_b = jnp.broadcast_to(llr, (B, n))
+
+    for sp in spans:
+        if bucket == B:
+            def stepB(c):
+                return (c[0] + 1, *_bpgd_step(
+                    garr, llr_b, syndrome, c[1:], num_iter=num_iter,
+                    alpha=alpha, clip=clip, msg_dtype=msg_dtype))
+
+            _, *carry = jax.lax.while_loop(
+                lambda c: (c[0] < sp) & ~jnp.all(c[8]), stepB,
+                (jnp.int32(0), *carry),
+            )
+            carry = tuple(carry)
+            continue
+        finished = carry[7]
+        order = jnp.argsort(finished, stable=True).astype(jnp.int32)
+        n_todo = jnp.sum((~finished).astype(jnp.int32))
+
+        def body(state, sp=sp, order=order):
+            b, carry = state
+            idx = jax.lax.dynamic_slice(order, (b * bucket,), (bucket,))
+            take = lambda a: jnp.take(a, idx, axis=0)
+
+            # mv/hist_t are slot-major with the row axis LAST (the lane
+            # axis); route the gather through transposes (lane-axis
+            # dynamic gathers execute pathologically on this backend,
+            # docs/GDG_W4_CRASH.md)
+            def take_sm(a):
+                t = jnp.moveaxis(a, -1, 0)
+                return jnp.moveaxis(jnp.take(t, idx, axis=0), 0, -1)
+
+            sub = tuple(
+                take_sm(a) if i < 2 else take(a) for i, a in enumerate(carry)
+            )
+            synd_c = take(syndrome)
+
+            def step1(c):
+                return (c[0] + 1, *_bpgd_step(
+                    garr, llr_c, synd_c, c[1:], num_iter=num_iter,
+                    alpha=alpha, clip=clip, msg_dtype=msg_dtype))
+
+            _, *sub = jax.lax.while_loop(
+                lambda c: (c[0] < sp) & ~jnp.all(c[8]), step1,
+                (jnp.int32(0), *sub),
+            )
+
+            def scatter_sm(a, s):
+                at = jnp.moveaxis(a, -1, 0)
+                st = jnp.moveaxis(s, -1, 0)
+                return jnp.moveaxis(at.at[idx].set(st), 0, -1)
+
+            carry = tuple(
+                scatter_sm(a, s) if i < 2 else a.at[idx].set(s)
+                for i, (a, s) in enumerate(zip(carry, sub))
+            )
+            return (b + 1, carry)
+
+        _, carry = jax.lax.while_loop(
+            lambda s: s[0] * bucket < n_todo, body, (jnp.int32(0), carry)
+        )
+
+    (mv, hist_t, error, vn_state, cn_state, cn_degree, dead, halted,
+     converged, iters) = carry
+    pm = jnp.sum(llr_b * (error == 1), axis=-1)
+    return {
+        "error": error.astype(jnp.uint8),
+        "converged": converged,
+        "min_pm": pm,
+        "iterations": iters,
+    }
+
+
+def default_bpgd_spans(max_step: int) -> tuple:
+    """Geometric span schedule: frequent early compactions while the pool
+    is draining fast, long tail spans once only stragglers remain."""
+    spans, s, total = [], 8, 0
+    while total < max_step:
+        sp = min(s, max_step - total)
+        spans.append(sp)
+        total += sp
+        s = min(s * 2, 128)
+    return tuple(spans)
 
 
 class BPGD:
@@ -118,6 +285,10 @@ class BPGD:
         new_n: int | None = None,
         clip: float = 50.0,
         bucket: int = 256,
+        msg_dtype: str = "float32",
+        mode: str = "spans",
+        decim_spans=None,
+        row_bucket: int = 2048,
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -132,6 +303,20 @@ class BPGD:
         self.max_step = int(max_step)
         self.new_n = min(self.n, 2 * self.m) if new_n is None else min(new_n, self.n)
         self.bucket = int(bucket)
+        self.msg_dtype = str(msg_dtype)
+        if mode not in ("loop", "spans"):
+            raise ValueError("mode must be 'loop' or 'spans'")
+        self.mode = mode
+        self.decim_spans = (
+            default_bpgd_spans(self.max_step)
+            if decim_spans is None
+            else tuple(int(s) for s in decim_spans)
+        )
+        if sum(self.decim_spans) != self.max_step:
+            raise ValueError(
+                f"decim_spans must sum to max_step={self.max_step}"
+            )
+        self.row_bucket = int(row_bucket)
         self.graph = compile_graph(pcm)
         self.garr = graph_device_arrays(self.graph)
         self.llr = np.log((1 - channel_probs) / channel_probs).astype(np.float32)
@@ -188,6 +373,28 @@ class BPGD:
         )
         llr_sum = pre["llr_sum"]
 
+        if self.mode == "spans":
+            # span-compacted walk over the whole batch: pre-converged rows
+            # enter frozen (halted0) and carry their pre-BP error through
+            vn0, cn0, cd0, dead0 = self._shorten_state(synds, llr_sum)
+            err0 = jnp.where(
+                done[:, None], error.astype(jnp.int8),
+                jnp.where(vn0 != -1, vn0, jnp.int8(0)),
+            )
+            out = bpgd_spans(
+                self.garr, self._llr_dev, synds, vn0, cn0, cd0, dead0,
+                num_iter=self.num_iter_per_step, alpha=self.gd_factor,
+                clip=self.clip, msg_dtype=self.msg_dtype,
+                spans=self.decim_spans, row_bucket=self.row_bucket,
+                error0=err0, halted0=done, converged0=done,
+            )
+            return {
+                "error": out["error"],
+                "converged": out["converged"],
+                "iterations": iters + jnp.where(done, 0, out["iterations"]),
+                "min_pm": jnp.where(done, min_pm, out["min_pm"]),
+            }
+
         bucket = min(self.bucket, B)
         while B % bucket:
             bucket -= 1
@@ -214,6 +421,7 @@ class BPGD:
                 max_step=self.max_step,
                 alpha=self.gd_factor,
                 clip=self.clip,
+                msg_dtype=self.msg_dtype,
             )
             # boundary buckets may straddle converged shots: keep theirs
             done_c = take(done)
@@ -250,8 +458,9 @@ class BPGD:
     def decode_batch(self, syndromes) -> DecodeResult:
         syndromes, _ = as_batch(syndromes, self.m)
         B = syndromes.shape[0]
-        Bp = max(B, pad_pow2(min(B, self.bucket), floor=8))
-        Bp = -(-Bp // min(self.bucket, Bp)) * min(self.bucket, Bp)
+        pad_to = self.row_bucket if self.mode == "spans" else self.bucket
+        Bp = max(B, pad_pow2(min(B, pad_to), floor=8))
+        Bp = -(-Bp // min(pad_to, Bp)) * min(pad_to, Bp)
         if Bp != B:
             syndromes = np.concatenate(
                 [syndromes, np.zeros((Bp - B, self.m), syndromes.dtype)]

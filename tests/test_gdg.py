@@ -132,6 +132,26 @@ def test_bpgd_decodes_code_capacity(bb72, rng):
     assert res.converged.mean() > 0.6
 
 
+def test_bpgd_spans_matches_loop(bb72, rng):
+    """The span-compacted decimation walk must be bit-identical to the
+    plain while-loop form (compaction is scheduling, not semantics) —
+    including with an awkward row_bucket that forces straddling boundary
+    buckets over pre-converged shots."""
+    p = 0.04
+    shots = 48
+    errs = (rng.random((shots, bb72.N)) < p).astype(np.uint8)
+    synds = (errs @ bb72.hx.T) % 2
+    kw = dict(max_iter=8, max_step=20, new_n=bb72.N, bucket=16)
+    res_loop = BPGD(bb72.hx, np.full(bb72.N, p), mode="loop", **kw
+                    ).decode_batch(synds)
+    res_spans = BPGD(bb72.hx, np.full(bb72.N, p), mode="spans",
+                     decim_spans=(4, 4, 12), row_bucket=16, **kw
+                     ).decode_batch(synds)
+    assert np.array_equal(res_loop.error, res_spans.error)
+    assert np.array_equal(res_loop.converged, res_spans.converged)
+    assert np.allclose(res_loop.min_pm, res_spans.min_pm)
+
+
 def test_gdg_beats_plain_bp_convergence(bb72, rng):
     # the point of GDG: it converges where plain BP fails
     p = 0.06
