@@ -122,7 +122,10 @@ def main() -> None:
     log("warmup (compiling kernels at full batch size) ...")
     t0 = time.perf_counter()
     decode_sliding_window_sharded(plan, det, factory)
-    log(f"warmup done in {time.perf_counter() - t0:.1f}s")
+    warmup_s = time.perf_counter() - t0
+    log(f"warmup done in {warmup_s:.1f}s "
+        "(persistent-cache warm start is <60s; a cold start after kernel "
+        "changes recompiles every window shape)")
 
     # repeat-and-take-best: the tunneled chip's first post-compile run is
     # often 10-30% slow (cold HBM state / tunnel jitter); best-of-N is the
@@ -222,6 +225,7 @@ def main() -> None:
                     float(np.percentile(wsec, 50)) / shots * 1e6, 3
                 ),
                 "nonconverged_frac": round(float(nonconv.mean()) / shots, 5),
+                "warmup_s": round(warmup_s, 1),
                 "bp_iter_ms": roof["bp_iter_ms"],
                 "achieved_gbytes_per_s": roof["achieved_gbytes_per_s"],
                 "hbm_bw_frac": roof["hbm_bw_frac"],
