@@ -94,12 +94,31 @@ def build_branch_tables(
             Asum_arr[b, d] = -10.0 if on_side else (-16.0 if d == 0 else -12.0)
         if rd >= 0:
             reinit[b, rd] = True
+
+    # Snapshot structure (the reference hands side threads a state copy at
+    # their flip depth, bpgd.cpp:651-664; here the prefix is either
+    # recomputed — fused/host_loop forms — or copied at a span boundary in
+    # the spans form): a lane whose decisions equal another lane's until
+    # depth d can lie DORMANT until d and copy that lane's state there.
+    #   tree-side lane (bits | {td}) == its tree lane (bits) until td
+    #   side lane {fd}               == the main lane until fd
+    copy_from = np.full(NB, -1, dtype=np.int32)
+    copy_at = np.full(NB, -1, dtype=np.int32)
+    for tid in range(1, 2**td):
+        copy_from[(2**td - 1) + tid] = tid  # tree-side <- its tree lane
+        copy_at[(2**td - 1) + tid] = td
+    for j in range(sd - td):
+        b = 2 * (2**td - 1) + 1 + j
+        copy_from[b] = 0  # side lane <- main
+        copy_at[b] = td + j
     return {
         "flip_now": flip_now,
         "reinit": reinit,
         "budget": budget,
         "A": A_arr,
         "A_sum": Asum_arr,
+        "copy_from": copy_from,
+        "copy_at": copy_at,
         "num_branches": NB,
         "D_max": D_max,
     }
@@ -196,33 +215,41 @@ def _select_and_decimate(
 
 
 def _hist_stats_bm(history):
-    """(min, max, sum, all_neg) from batch-major history [B, n, 4]."""
+    """(min, max, sum, all_neg) from batch-major history [B, n, 4].
+    Stats are f32 regardless of the ring's storage dtype."""
+    f32 = lambda x: x.astype(jnp.float32)
     return (
-        jnp.min(history, axis=-1),
-        jnp.max(history, axis=-1),
-        jnp.sum(history, axis=-1),
+        f32(jnp.min(history, axis=-1)),
+        f32(jnp.max(history, axis=-1)),
+        jnp.sum(history, axis=-1, dtype=jnp.float32),
         jnp.all(history <= 0.0, axis=-1),
     )
 
 
 def _hist_stats_sm(hist_t):
-    """(min, max, sum, all_neg) [B, n] from slot-major history [n, 4, B]."""
+    """(min, max, sum, all_neg) [B, n] from slot-major history [n, 4, B].
+    Stats are f32 regardless of the ring's storage dtype."""
+    f32 = lambda x: x.astype(jnp.float32)
     return (
-        jnp.min(hist_t, axis=1).T,
-        jnp.max(hist_t, axis=1).T,
-        jnp.sum(hist_t, axis=1).T,
+        f32(jnp.min(hist_t, axis=1)).T,
+        f32(jnp.max(hist_t, axis=1)).T,
+        jnp.sum(hist_t, axis=1, dtype=jnp.float32).T,
         jnp.all(hist_t <= 0.0, axis=1).T,
     )
 
 
 def _ensemble_init(garr, llr, syndrome, scan_rank, vn_state0, cn_state0,
-                   cn_degree0, dead0, NB: int, msg_dtype: str = "float32"):
+                   cn_degree0, dead0, NB: int, msg_dtype: str = "float32",
+                   hist_dtype: str = "float32"):
     """Tile per-shot state over the NB branch lanes (shot-major rows).
 
     The BP carry lives in the kernel-native layouts: messages slot-major
     [dc, m_pad, BN] in the message dtype (bfloat16 stays bfloat16 at
-    rest), history [n, 4, BN] — so the per-step ``bp_run`` bursts skip
-    the entry/exit transposes (io_layout="slot_major")."""
+    rest), history [n, 4, BN] in ``hist_dtype`` — the history ring's
+    per-iteration rewrite is the single largest HBM stream of the
+    ensemble step (4n vs dc*m_pad slots), so a bfloat16 ring halves it —
+    and the per-step bursts skip the entry/exit transposes
+    (io_layout="slot_major")."""
     BK, _ = syndrome.shape
     n = garr["vn_valid"].shape[0]
     BN = BK * NB
@@ -233,7 +260,7 @@ def _ensemble_init(garr, llr, syndrome, scan_rank, vn_state0, cn_state0,
     llr_b = jnp.broadcast_to(llr, (BN, n))
     branch_of_row = jnp.tile(jnp.arange(NB, dtype=jnp.int32), BK)
     mv_sm = bp_init_messages_sm(garr, llr, BN, msg_dtype)
-    hist_t = jnp.zeros((n, 4, BN), jnp.float32)
+    hist_t = jnp.zeros((n, 4, BN), jnp.dtype(hist_dtype))
     error = jnp.zeros((BN, n), jnp.int8)
     iters = jnp.zeros((BN,), jnp.int32)
     carry = (
@@ -265,6 +292,7 @@ def _ensemble_step(
     Asum_arr,
     d,
     carry,
+    start_row=None,
     *,
     num_iter: int,
     alpha: float,
@@ -274,19 +302,30 @@ def _ensemble_step(
 ):
     """One ensemble decimation step: masked BP burst, select_vn, decimate,
     peel, side-branch message reinit. Shared by the fused fori/while form
-    (``gdg_ensemble``) and the host-stepped form
-    (``gdg_ensemble_hostloop``)."""
+    (``gdg_ensemble``), the host-stepped form (``gdg_ensemble_hostloop``)
+    and the spans form. ``start_row`` (spans form only) keeps dormant
+    lanes — lanes that will copy another lane's snapshot at their
+    activation depth — frozen before that depth."""
     (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
      converged, conv_pm, conv_error, iters) = carry
     BN, n = vn_state.shape
     active = ~halted & (d < budget_row)
+    if start_row is not None:
+        active = active & (d >= start_row)
 
     # --- masked BP (num_iter iterations, early per-row freeze); the
-    # mv/history carry is slot-major and stays in the message dtype -----
+    # mv/history carry is slot-major and stays in the message dtype.
+    # history_mode="tail": the ring only needs the burst's final 4
+    # iterations — identical to "full" for every row that finishes the
+    # burst (ring slot = iter % 4), and rows that converge mid-burst
+    # halt, so their (stale) ring is never read by select_vn. Saves the
+    # ring rewrite (the step's largest HBM stream) on the early
+    # iterations of longer bursts. -------------------------------------
     mv, history, error, bp_done, iters, synd_hat = bp_run(
         garr, mv, llr_b, synd, vn_state, cn_state, history, error,
         ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
         msg_dtype=msg_dtype, return_synd=True, io_layout="slot_major",
+        history_mode="tail",
     )
     newly_conv = bp_done & active
     pm = jnp.sum(llr_b * (error == 1), axis=-1)
@@ -405,6 +444,7 @@ def gdg_ensemble_hostloop(
     clip: float,
     low_error_mode: bool,
     msg_dtype: str = "float32",
+    hist_dtype: str = "float32",
 ):
     """Host-stepped branch ensemble: a Python loop over jitted
     ``_ensemble_step`` programs with an all-halted early exit per step.
@@ -417,7 +457,7 @@ def gdg_ensemble_hostloop(
     BK, _ = syndrome.shape
     carry, synd, llr_b, branch_of_row, rank_b = _ensemble_init(
         garr, llr, syndrome, scan_rank, vn_state0, cn_state0, cn_degree0,
-        dead0, NB, msg_dtype
+        dead0, NB, msg_dtype, hist_dtype
     )
     budget_row = budget[branch_of_row]
     for d in range(D_max):
@@ -438,7 +478,7 @@ def gdg_ensemble_hostloop(
 @partial(
     jax.jit,
     static_argnames=("num_iter", "D_max", "NB", "alpha", "clip", "low_error_mode",
-                     "msg_dtype", "early_exit"),
+                     "msg_dtype", "hist_dtype", "early_exit"),
 )
 def gdg_ensemble(
     garr,
@@ -462,13 +502,14 @@ def gdg_ensemble(
     clip: float,
     low_error_mode: bool,
     msg_dtype: str = "float32",
+    hist_dtype: str = "float32",
     early_exit: bool = False,
 ):
     """Run the branch ensemble; returns per-shot best error / pm / converged."""
     BK, m = syndrome.shape
     carry, synd, llr_b, branch_of_row, rank_b = _ensemble_init(
         garr, llr, syndrome, scan_rank, vn_state0, cn_state0, cn_degree0,
-        dead0, NB, msg_dtype
+        dead0, NB, msg_dtype, hist_dtype
     )
     budget_row = budget[branch_of_row]
 
@@ -503,7 +544,8 @@ def gdg_ensemble(
 @partial(
     jax.jit,
     static_argnames=("num_iter", "NB", "alpha", "clip", "low_error_mode",
-                     "msg_dtype", "spans", "row_bucket"),
+                     "msg_dtype", "hist_dtype", "spans", "row_bucket",
+                     "copy_plan"),
 )
 def gdg_ensemble_spans(
     garr,
@@ -526,8 +568,10 @@ def gdg_ensemble_spans(
     clip: float,
     low_error_mode: bool,
     msg_dtype: str = "float32",
+    hist_dtype: str = "float32",
     spans: tuple = (),
     row_bucket: int = 2048,
+    copy_plan: tuple | None = None,
 ):
     """Span-compacted ensemble: the same ``_ensemble_step`` as the fused
     form, but the depth loop is cut into static ``spans`` with a ROW-level
@@ -545,10 +589,51 @@ def gdg_ensemble_spans(
     BK, m = syndrome.shape
     carry, synd, llr_b, branch_of_row, rank_b = _ensemble_init(
         garr, llr, syndrome, scan_rank, vn_state0, cn_state0, cn_degree0,
-        dead0, NB, msg_dtype
+        dead0, NB, msg_dtype, hist_dtype
     )
     budget_row = budget[branch_of_row]
     BN = BK * NB
+
+    # --- lane dormancy (copy_plan = (copy_at, copy_from) per lane): a
+    # side/tree-side lane shares another lane's decision prefix until its
+    # activation depth, so instead of recomputing that prefix it stays
+    # frozen and COPIES its source lane's state at the span boundary of
+    # its activation depth (the reference's snapshot handoff,
+    # bpgd.cpp:651-664). Trajectories from activation onward are
+    # bit-identical to the recompute forms. All masks/permutations are
+    # trace-time constants.
+    start_row = None
+    start_np = None
+    if copy_plan is not None:
+        copy_at_np = np.asarray(copy_plan[0], np.int32)
+        copy_from_np = np.asarray(copy_plan[1], np.int32)
+        lanes_np = np.arange(BN) % NB
+        start_np = np.maximum(copy_at_np[lanes_np], 0)
+        start_row = jnp.asarray(start_np)
+        bounds = set(np.cumsum((0,) + spans).tolist())
+        acts = set(int(a) for a in copy_at_np if a >= 0)
+        if not acts <= bounds:
+            raise ValueError(
+                f"spans {spans} missing boundaries at activation depths "
+                f"{sorted(acts - bounds)} (default_spans adds them)"
+            )
+
+    def _apply_activations(carry, d0):
+        if copy_plan is None:
+            return carry
+        mask_np = copy_at_np[lanes_np] == d0
+        if not mask_np.any():
+            return carry
+        perm_np = np.where(
+            mask_np,
+            (np.arange(BN) // NB) * NB + copy_from_np[lanes_np],
+            np.arange(BN),
+        ).astype(np.int32)
+        perm = jnp.asarray(perm_np)
+        return tuple(
+            a[:, :, perm] if i < 2 else a[perm]
+            for i, a in enumerate(carry)
+        )
     # largest divisor of BN <= row_bucket (gcd under-shoots badly: e.g.
     # gcd(5632, 2048) = 512 where 1408 divides 5632 — 3x the bucket-walk
     # iterations, each paying a full gather/scatter of the row state)
@@ -558,6 +643,7 @@ def gdg_ensemble_spans(
 
     d0 = 0
     for sp in spans:
+        carry = _apply_activations(carry, d0)
         if bucket == BN:
             # one bucket covers the whole pool: compaction can't drop any
             # work — run the steps directly, no sort / gather / scatter
@@ -565,12 +651,16 @@ def gdg_ensemble_spans(
                 carry = _ensemble_step(
                     garr, llr_b, synd, rank_b, branch_of_row, budget_row,
                     flip_now, reinit, A_arr, Asum_arr, jnp.int32(d0 + dd),
-                    carry, num_iter=num_iter, alpha=alpha, clip=clip,
-                    low_error_mode=low_error_mode, msg_dtype=msg_dtype,
+                    carry, start_row, num_iter=num_iter, alpha=alpha,
+                    clip=clip, low_error_mode=low_error_mode,
+                    msg_dtype=msg_dtype,
                 )
             d0 += sp
             continue
         finished = carry[7] | (d0 >= budget_row)
+        if start_np is not None:
+            # dormant through this whole span == finished for the walk
+            finished = finished | jnp.asarray(start_np >= d0 + sp)
         order = jnp.argsort(finished, stable=True).astype(jnp.int32)
         n_todo = jnp.sum((~finished).astype(jnp.int32))
 
@@ -597,11 +687,12 @@ def gdg_ensemble_spans(
             rank_c = take(rank_b)
             bor_c = take(branch_of_row)
             bud_c = take(budget_row)
+            start_c = take(start_row) if start_row is not None else None
             for dd in range(sp):
                 sub = _ensemble_step(
                     garr, llr_c, synd_c, rank_c, bor_c, bud_c, flip_now,
                     reinit, A_arr, Asum_arr, jnp.int32(d0 + dd), sub,
-                    num_iter=num_iter, alpha=alpha, clip=clip,
+                    start_c, num_iter=num_iter, alpha=alpha, clip=clip,
                     low_error_mode=low_error_mode, msg_dtype=msg_dtype,
                 )
             def scatter_sm(a, s):
@@ -622,20 +713,22 @@ def gdg_ensemble_spans(
     return _ensemble_reduce(carry, BK, NB)
 
 
-def default_spans(D_max: int, budgets, span: int = 4) -> tuple:
+def default_spans(D_max: int, budgets, span: int = 4,
+                  activations=()) -> tuple:
     """Static span schedule: compaction every ``span`` steps, plus an extra
     boundary at each branch-budget cliff where a significant lane fraction
-    (>= 1/8 of the ensemble) goes inactive at once. Tiny cliffs (individual
-    side lanes, each with its own budget) are not worth a compaction pass
-    — every span adds a gather/scatter of the full row state and its own
-    unrolled program to compile."""
+    (>= 1/8 of the ensemble) goes inactive at once (tiny cliffs — single
+    side lanes — are not worth a compaction pass), plus a boundary at
+    every lane ACTIVATION depth (lane-dormancy snapshot copies happen at
+    span starts, so each distinct ``copy_at`` needs a boundary)."""
     budgets = [int(b) for b in budgets]
     nb = max(len(budgets), 1)
     counts = {}
     for b in budgets:
         counts[b] = counts.get(b, 0) + 1
     cliffs = {b for b, c in counts.items() if 0 < b < D_max and c * 8 >= nb}
-    bounds = sorted(set(range(span, D_max, span)) | cliffs | {D_max})
+    acts = {int(a) for a in activations if 0 < a < D_max}
+    bounds = sorted(set(range(span, D_max, span)) | cliffs | acts | {D_max})
     spans, prev = [], 0
     for b in bounds:
         if b > prev:
@@ -964,6 +1057,7 @@ class GDG:
         clip: float = 50.0,
         ensemble_bucket: int = 64,
         msg_dtype: str = "float32",
+        hist_dtype: str = "float32",
         multi_thread: bool = True,
         ensemble_early_exit: bool = False,
         ensemble_mode: str = "fused",
@@ -982,6 +1076,7 @@ class GDG:
         self.num_iter_per_step = int(max_iter_per_step)
         self.low_error_mode = bool(low_error_mode)
         self.msg_dtype = str(msg_dtype)
+        self.hist_dtype = str(hist_dtype)
         self.new_n = min(self.n, 2 * self.m) if new_n is None else min(new_n, self.n)
         self.ensemble_bucket = int(ensemble_bucket)
         self.multi_thread = bool(multi_thread)
@@ -1025,9 +1120,15 @@ class GDG:
         }
         self._core_jit = None
         self._pre_jit = None
+        # lane-dormancy snapshot plan (spans form): hashable for jit
+        self._copy_plan = (
+            tuple(int(a) for a in tables["copy_at"]),
+            tuple(int(f) for f in tables["copy_from"]),
+        )
         if self._ensemble_spans is None:
             self.ensemble_spans = default_spans(
-                self.D_max, tables["budget"].tolist()
+                self.D_max, tables["budget"].tolist(),
+                activations=self._copy_plan[0],
             )
         else:
             self.ensemble_spans = tuple(int(s) for s in self._ensemble_spans)
@@ -1035,6 +1136,15 @@ class GDG:
                 raise ValueError(
                     f"ensemble_spans must sum to D_max={self.D_max}"
                 )
+            bounds = {0}
+            acc = 0
+            for s in self.ensemble_spans:
+                acc += s
+                bounds.add(acc)
+            if not {a for a in self._copy_plan[0] if a >= 0} <= bounds:
+                # user schedule misses activation boundaries: fall back to
+                # prefix recompute (no dormancy) rather than erroring
+                self._copy_plan = None
 
     def _shorten_state(self, synds, llr_sum):
         """Decide the most-reliable n - new_n columns to 0, then peel.
@@ -1088,8 +1198,10 @@ class GDG:
                 clip=self.clip,
                 low_error_mode=self.low_error_mode,
                 msg_dtype=self.msg_dtype,
+                hist_dtype=self.hist_dtype,
                 spans=self.ensemble_spans,
                 row_bucket=self.row_bucket,
+                copy_plan=self._copy_plan,
             )
         if self.multi_thread and self.ensemble_mode == "host_loop":
             return gdg_ensemble_hostloop(
@@ -1113,6 +1225,7 @@ class GDG:
                 clip=self.clip,
                 low_error_mode=self.low_error_mode,
                 msg_dtype=self.msg_dtype,
+                hist_dtype=self.hist_dtype,
             )
         if self.multi_thread:
             return gdg_ensemble(
@@ -1136,6 +1249,7 @@ class GDG:
                 clip=self.clip,
                 low_error_mode=self.low_error_mode,
                 msg_dtype=self.msg_dtype,
+                hist_dtype=self.hist_dtype,
                 early_exit=self.ensemble_early_exit,
             )
         return gdg_serial(

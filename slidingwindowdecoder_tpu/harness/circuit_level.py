@@ -284,6 +284,7 @@ def sliding_window_gdg(
     ensemble_mode: str = "fused",
     ensemble_spans=None,
     msg_dtype: str = "float32",
+    hist_dtype: str = "float32",
     seed: int | None = None,
     verbose: bool = True,
 ):
@@ -323,6 +324,7 @@ def sliding_window_gdg(
             ensemble_mode=ensemble_mode,
             ensemble_spans=ensemble_spans,
             msg_dtype=msg_dtype,
+            hist_dtype=hist_dtype,
         )
 
     factory = CachingDecoderFactory(build)

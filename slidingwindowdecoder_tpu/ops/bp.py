@@ -320,7 +320,9 @@ def bp_run(
                     i % 4
                 )
                 hist_mask = (active[None, :] & vn_undecided)[:, None, :] & slot_hot
-                hist = jnp.where(hist_mask, posterior[:, None, :], hist)
+                hist = jnp.where(
+                    hist_mask, posterior[:, None, :].astype(hist.dtype), hist
+                )
             err = jnp.where(active[None, :], err_new, err)
             if return_synd:
                 sodd = jnp.where(active[None, :], synd_odd, sodd)

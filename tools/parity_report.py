@@ -120,7 +120,9 @@ DESCRIPTIONS = {
         "SHYPS.ipynb cell 3",
     ),
     "sw-xbasis": (
-        "[[144]] SW BP+OSD W=3, p=0.004, x-basis (vs z-basis ref count)",
+        "[[144]] SW BP+OSD W=3, p=0.004, x-basis — CONSISTENCY CHECK, not "
+        "parity: no committed x-basis reference number exists; compared "
+        "against the z-basis count (X/Z memories are statistically equal)",
         "build_circuit.py:6 z_basis=False",
     ),
 }

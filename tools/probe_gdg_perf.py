@@ -63,6 +63,14 @@ def main():
         "spans_b512_bf16_rb4k": dict(ensemble_bucket=512,
                                      ensemble_mode="spans",
                                      msg_dtype="bfloat16", row_bucket=4096),
+        "spans_b512_bf16_h16": dict(ensemble_bucket=512,
+                                    ensemble_mode="spans",
+                                    msg_dtype="bfloat16",
+                                    hist_dtype="bfloat16"),
+        "spans_b1024_bf16_h16": dict(ensemble_bucket=1024,
+                                     ensemble_mode="spans",
+                                     msg_dtype="bfloat16",
+                                     hist_dtype="bfloat16"),
     }
     if args.configs:
         names = args.configs.split(",")

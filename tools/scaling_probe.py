@@ -116,10 +116,18 @@ def main() -> None:
     print(f"structural: {checked} distinct window steps compiled on the "
           f"8-device mesh; collectives found: {bad_ops or 'NONE'}")
 
-    # --- 2. weak scaling on the physically-backed mesh sizes -------------
+    # --- 2. weak scaling: fixed per-device batch over 1/2/4/8 devices ----
+    # This host has 2 physical cores, so WALL time beyond 2 virtual
+    # devices measures core timesharing, not sharding overhead. The
+    # host-measurable invariant is total CPU seconds per shot: with no
+    # collectives, each device executes an identical independent program,
+    # so if cpu-s/shot stays flat as the mesh grows, the per-device STEP
+    # TIME on real hardware (one core per chip's dispatch) is invariant —
+    # the sharded program adds no per-device work with mesh size.
     per_dev = 64
     results = {}
-    for ndev in (1, 2):
+    cpu_per_shot = {}
+    for ndev in (1, 2, 4, 8):
         mesh = make_shot_mesh(jax.devices()[:ndev])
         factory = make_factory()
         S = per_dev * ndev
@@ -131,23 +139,41 @@ def main() -> None:
             jax.block_until_ready(out["total_e_hat"])
 
         run()  # compile
-        t0 = time.perf_counter()
-        run()
-        dt = time.perf_counter() - t0
-        results[ndev] = S / dt
-        print(f"mesh={ndev}: {S} shots in {dt:.2f}s -> {S/dt:.1f} shots/s")
+        best_wall, best_cpu = float("inf"), float("inf")
+        for _ in range(2):
+            c0 = time.process_time()
+            t0 = time.perf_counter()
+            run()
+            best_wall = min(best_wall, time.perf_counter() - t0)
+            best_cpu = min(best_cpu, time.process_time() - c0)
+        results[ndev] = S / best_wall
+        cpu_per_shot[ndev] = best_cpu / S
+        print(f"mesh={ndev}: {S} shots wall {best_wall:.2f}s "
+              f"({S/best_wall:.1f} shots/s), cpu {best_cpu:.2f}s "
+              f"({best_cpu/S*1e3:.1f} cpu-ms/shot)")
 
-    eff = results[2] / (2 * results[1])
+    eff_wall2 = results[2] / (2 * results[1])
+    step_eff = {
+        str(n): round(cpu_per_shot[1] / cpu_per_shot[n], 4)
+        for n in (2, 4, 8)
+    }
     out = {
         "structural_collectives_in_window_steps": bad_ops,
         "structurally_communication_free": not bad_ops,
         "weak_scaling_shots_per_sec": {str(k): round(v, 2) for k, v in results.items()},
-        "weak_scaling_efficiency_2dev": round(eff, 4),
+        "weak_scaling_efficiency_2dev_wall": round(eff_wall2, 4),
+        "cpu_ms_per_shot": {
+            str(k): round(v * 1e3, 2) for k, v in cpu_per_shot.items()
+        },
+        "step_time_efficiency_vs_1dev": step_eff,
         "note": (
-            "host has 2 physical cores; virtual devices beyond 2 share "
-            "cores. Structural check proves per-window decode is "
-            "shard-local (no collectives), so multi-chip efficiency is "
-            "bounded by the final scalar psum only."
+            "host has 2 physical cores; wall time beyond 2 virtual devices "
+            "measures core timesharing. step_time_efficiency is the "
+            "cpu-seconds-per-shot ratio vs the 1-device mesh at fixed "
+            "per-device batch: flat (>=0.85) means the sharded program "
+            "does no extra per-device work as the mesh grows, which with "
+            "the structural no-collectives check bounds real-chip weak "
+            "scaling by the final scalar psum only."
         ),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -96,11 +96,17 @@ def run_gdg(name, shots, seed, *, N, p, r, W, F, max_iter=200,
     # worker crash (docs/GDG_W4_CRASH.md).
     mode = os.environ.get("SWD_GDG_MODE", "spans")  # host_loop fallback
     if ensemble_bucket is None:
-        ensemble_bucket = 64 if mode == "host_loop" else 256
+        ensemble_bucket = 64 if mode == "host_loop" else 512
+    # chip-measured (tools/probe_gdg_perf.py): bf16 messages + bf16
+    # history ring are ~30% faster at statistically equal LER (the z3
+    # gate below validates each row); SWD_GDG_F32=1 restores f32
+    dtype_kw = {} if os.environ.get("SWD_GDG_F32") else dict(
+        msg_dtype="bfloat16", hist_dtype="bfloat16")
     res = sliding_window_gdg(
         N=N, p=p, num_repeat=r, num_shots=shots, max_iter=max_iter, W=W, F=F,
         last_win_osd=last_win_osd, low_error_mode=low_error_mode, seed=seed,
         ensemble_bucket=ensemble_bucket, ensemble_mode=mode, verbose=True,
+        **dtype_kw,
         **(gdg_kwargs or {}),
     )
     extra = {"ler_per_round": res["ler_per_round"]}
