@@ -59,21 +59,24 @@ def bpgd_loop(
     def step(carry):
         d = carry[0]
         sub = _bpgd_step(
-            garr, llr_b, syndrome, carry[1:], num_iter=num_iter, alpha=alpha,
-            clip=clip, msg_dtype=msg_dtype,
+            garr, llr_b, syndrome, carry[1:11], num_iter=num_iter,
+            alpha=alpha, clip=clip, msg_dtype=msg_dtype,
         )
-        return (d + 1, *sub)
+        # all-halted reduced to a carried SCALAR in the body: a vector
+        # reduce in the while cond forces a scalar-core SMEM DMA of the
+        # whole pred[B] per step (tools/profile_gdg_w4_step.py)
+        return (d + 1, *sub, jnp.all(sub[7]))
 
     # early exit once every shot has halted: a step only mutates active
     # shots, so the result is bit-identical to the full max_step unroll
     # (the reference's per-shot loop breaks the same way, pyx:540-552)
     carry = (jnp.int32(0), mv, hist_t, error, vn_state, cn_state, cn_degree,
-             dead, halted, converged, iters)
+             dead, halted, converged, iters, jnp.all(halted))
     carry = jax.lax.while_loop(
-        lambda c: (c[0] < max_step) & ~jnp.all(c[8]), step, carry
+        lambda c: (c[0] < max_step) & ~c[11], step, carry
     )
     (_, mv, hist_t, error, vn_state, cn_state, cn_degree, dead, halted,
-     converged, iters) = carry
+     converged, iters, _ah) = carry
     pm = jnp.sum(llr_b * (error == 1), axis=-1)
     return {
         "error": error.astype(jnp.uint8),
@@ -189,15 +192,16 @@ def bpgd_spans(
     for sp in spans:
         if bucket == B:
             def stepB(c):
-                return (c[0] + 1, *_bpgd_step(
-                    garr, llr_b, syndrome, c[1:], num_iter=num_iter,
-                    alpha=alpha, clip=clip, msg_dtype=msg_dtype))
+                sub = _bpgd_step(
+                    garr, llr_b, syndrome, c[1:11], num_iter=num_iter,
+                    alpha=alpha, clip=clip, msg_dtype=msg_dtype)
+                return (c[0] + 1, *sub, jnp.all(sub[7]))
 
             _, *carry = jax.lax.while_loop(
-                lambda c: (c[0] < sp) & ~jnp.all(c[8]), stepB,
-                (jnp.int32(0), *carry),
+                lambda c: (c[0] < sp) & ~c[11], stepB,
+                (jnp.int32(0), *carry, jnp.all(carry[7])),
             )
-            carry = tuple(carry)
+            carry = tuple(carry[:10])
             continue
         finished = carry[7]
         order = jnp.argsort(finished, stable=True).astype(jnp.int32)
@@ -222,14 +226,16 @@ def bpgd_spans(
             synd_c = take(syndrome)
 
             def step1(c):
-                return (c[0] + 1, *_bpgd_step(
-                    garr, llr_c, synd_c, c[1:], num_iter=num_iter,
-                    alpha=alpha, clip=clip, msg_dtype=msg_dtype))
+                s2 = _bpgd_step(
+                    garr, llr_c, synd_c, c[1:11], num_iter=num_iter,
+                    alpha=alpha, clip=clip, msg_dtype=msg_dtype)
+                return (c[0] + 1, *s2, jnp.all(s2[7]))
 
             _, *sub = jax.lax.while_loop(
-                lambda c: (c[0] < sp) & ~jnp.all(c[8]), step1,
-                (jnp.int32(0), *sub),
+                lambda c: (c[0] < sp) & ~c[11], step1,
+                (jnp.int32(0), *sub, jnp.all(sub[7])),
             )
+            sub = sub[:10]
 
             def scatter_sm(a, s):
                 at = jnp.moveaxis(a, -1, 0)

@@ -531,10 +531,18 @@ def gdg_ensemble(
         # (UNAVAILABLE restart); use ensemble_mode="host_loop" there
         # (``gdg_ensemble_hostloop``), which runs this exact step function
         # one compiled step at a time.
-        _, carry = jax.lax.while_loop(
-            lambda s: (s[0] < D_max) & jnp.any(~s[1][7] & (s[0] < budget_row)),
-            lambda s: (s[0] + 1, step(s[0], s[1])),
-            (jnp.int32(0), carry),
+        # the any-active reduce lives in the body (vector core); the cond
+        # reads only carried scalars (a vector reduce in the cond forces
+        # a scalar-core SMEM DMA per step, tools/profile_gdg_w4_step.py)
+        def _ee_body(s):
+            d, c, _ = s
+            c = step(d, c)
+            return (d + 1, c, jnp.any(~c[7] & (d + 1 < budget_row)))
+
+        _, carry, _ = jax.lax.while_loop(
+            lambda s: (s[0] < D_max) & s[2],
+            _ee_body,
+            (jnp.int32(0), carry, jnp.any(~carry[7] & (0 < budget_row))),
         )
     else:
         carry = jax.lax.fori_loop(0, D_max, step, carry)
@@ -909,13 +917,15 @@ def gdg_serial(
 
     # ---- phase 2: side branches with pm/depth pruning --------------------
     def p2_cond(carry):
+        # cond reads only carried scalars (the max-used reduce lives in
+        # the body; a vector reduce here would run on the scalar core
+        # with an SMEM DMA per trip, tools/profile_gdg_w4_step.py)
         i = carry[0]
-        queues = carry[6]
-        return (i < G) & (i < jnp.max(used_of(queues)))
+        return (i < G) & (i < carry[10])
 
     def p2_body(carry):
         (i, history, error, converged, min_pm, best_err, queues,
-         min_conv_depth, iters, explored) = carry
+         min_conv_depth, iters, explored, _mu) = carry
         (q_vn, q_cn, q_deg, q_guess, q_val, q_depth, used) = queues
         alt_depth = q_depth[:, i]
         valid = (i < used) & (alt_depth <= min_conv_depth)
@@ -932,12 +942,12 @@ def gdg_serial(
         mv = bp_init_messages(garr, llr_b, B)  # set_masks -> init()
 
         def inner_cond(ic):
-            return (ic[0] < max_side_branch_step) & jnp.any(ic[4])
+            return (ic[0] < max_side_branch_step) & ic[15]
 
         def inner_body(ic):
             (j, mv, history, error, b_active, vn_state, cn_state, cn_degree,
              dead, converged, min_pm, best_err, min_conv_depth, queues,
-             iters) = ic
+             iters, _any) = ic
             cur_depth = alt_depth + j
             mv, history, error, bp_done, iters = bp_run(
                 garr, mv, llr_b, syndrome, vn_state, cn_state, history, error,
@@ -987,24 +997,27 @@ def gdg_serial(
             error = jnp.where(vn_state != -1, vn_state, error)
             return (j + 1, mv, history, error, b_active, vn_state, cn_state,
                     cn_degree, dead, converged, min_pm, best_err,
-                    min_conv_depth, queues, iters)
+                    min_conv_depth, queues, iters, jnp.any(b_active))
 
         ic = (jnp.int32(0), mv, history, error, b_active, vn_state, cn_state,
               cn_degree, dead, converged, min_pm, best_err, min_conv_depth,
-              queues, iters)
+              queues, iters, jnp.any(b_active))
         ic = jax.lax.while_loop(inner_cond, inner_body, ic)
         (_, mv, history, error, b_active, vn_state, cn_state, cn_degree,
-         dead, converged, min_pm, best_err, min_conv_depth, queues, iters) = ic
+         dead, converged, min_pm, best_err, min_conv_depth, queues, iters,
+         _any) = ic
         return (i + 1, history, error, converged, min_pm, best_err, queues,
-                min_conv_depth, iters, explored)
+                min_conv_depth, iters, explored,
+                jnp.max(used_of(queues)))
 
     explored = jnp.zeros((B, G), bool) if G > 0 else jnp.zeros((B, 0), bool)
     if G > 0:  # static: G == 0 means side branches disabled entirely
         carry2 = (jnp.int32(0), history, error, converged, min_pm, best_err,
-                  queues, min_conv_depth, iters, explored)
+                  queues, min_conv_depth, iters, explored,
+                  jnp.max(used_of(queues)))
         carry2 = jax.lax.while_loop(p2_cond, p2_body, carry2)
         (_, history, error, converged, min_pm, best_err, queues,
-         min_conv_depth, iters, explored) = carry2
+         min_conv_depth, iters, explored, _mu) = carry2
 
     (q_vn, q_cn, q_deg, q_guess, q_val, q_depth, used) = queues
     return {

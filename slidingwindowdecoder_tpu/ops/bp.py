@@ -55,6 +55,13 @@ import jax
 import jax.numpy as jnp
 
 BIG = 1e30  # stands in for the reference's 1e308 sentinel (f32-safe)
+# pinned-LLR masking sentinels: pinned (decided/invalid) edges carry
+# +-PIN; anything past PIN_THRESH is a pin. Strictly above the largest
+# live value the schedule can produce (a one-live-edge check emits a
+# BIG-magnitude message, so live |mv| can reach ~BIG + prior; dv*BIG
+# bounds a live posterior) and exactly representable in bfloat16.
+PIN = 1e33
+PIN_THRESH = 1e32
 
 
 def bp_init_messages(garr, prior_llr, batch: int):
@@ -89,7 +96,7 @@ def bp_init_messages_sm(garr, prior_llr, batch: int, msg_dtype="float32"):
     return jnp.broadcast_to(base[:, :, None], (*base.shape, batch))
 
 
-def _cn_update_sm(mv, edge_valid, parity, *, alpha, clip):
+def _cn_update_sm(mv, edge_valid, parity, *, alpha, clip, pinned=False):
     """Check-node update, slot-major.
 
     mv: [dc, m_pad, B] messages (any float dtype); edge_valid: bool
@@ -99,11 +106,21 @@ def _cn_update_sm(mv, edge_valid, parity, *, alpha, clip):
     every [dc, m_pad, B] intermediate (the dominant arrays of the
     iteration); bf16 shares f32's exponent range so the BIG sentinel and
     the ±clip window are exactly representable.
+
+    ``pinned``: messages >= PIN_THRESH are masked-out pins (+PIN) —
+    preserve them through the clip so they lose the min and carry no sign
+    (the pinned-LLR masking of ``bp_run``'s masked mode).
     """
     dc = mv.shape[0]
     mdt = mv.dtype
     mvc = jnp.clip(mv, mdt.type(-clip), mdt.type(clip))
-    absx = jnp.where(edge_valid, jnp.abs(mvc), mdt.type(BIG))
+    if pinned:
+        mvc = jnp.where(mv >= mdt.type(PIN_THRESH), mv, mvc)
+    # clamp to BIG so pinned edges present exactly the oracle's sentinel
+    # to the min (a check whose every other edge is pinned/invalid emits
+    # magnitude BIG, matching the reference's masked fallback)
+    absx = jnp.minimum(jnp.where(edge_valid, jnp.abs(mvc), mdt.type(BIG)),
+                       mdt.type(BIG))
     neg = edge_valid & (mvc <= 0)
     min1 = jnp.min(absx, axis=0)  # [m_pad, B]
     arg1 = jnp.argmin(absx, axis=0)  # first occurrence == fwd-pass order
@@ -144,6 +161,7 @@ def check_syndrome(garr, error):
         "cn_engine",
         "return_synd",
         "io_layout",
+        "early_exit",
     ),
 )
 def bp_run(
@@ -169,8 +187,14 @@ def bp_run(
     cn_engine: str = "xla",
     return_synd: bool = False,
     io_layout: str = "batch_major",
+    early_exit: bool = True,
 ):
     """Run up to ``num_iter`` BP iterations with per-shot convergence freeze.
+
+    ``early_exit=False`` runs the fixed ``num_iter`` trips as a
+    ``fori_loop`` (bit-identical results — the per-row freeze masks
+    finished rows); use for short bursts where an all-done exit rarely
+    fires and the while-loop's per-trip drain costs more than it saves.
 
     All array args are batched (leading B). ``history`` is [B, n, 4] and is
     written at slot ``i % 4`` each iteration (i local to this call, matching
@@ -230,24 +254,29 @@ def bp_run(
 
     # ---- loop-invariant edge masks ------------------------------------------
     syndrome_odd = syndrome_t == 1
+    sv = cn_valid_sm[:, :, None]  # [dc, m_pad, 1] static
     if masked:
+        # pinned-LLR masking: instead of reading a per-edge pred
+        # [dc, m_pad, B] mask in every pass of every iteration, decided
+        # VNs' edges are pinned to +BIG once at burst entry — a +BIG
+        # message loses every min comparison (the same sentinel the
+        # masked min already used) and contributes no sign (the decided
+        # parity lives in cn_state, which vn_set_values maintains) — and
+        # decided POSTERIORS are pinned to the decided sign, so the
+        # syndrome check needs no separate dec_odd correction. Static
+        # invalid slots are pinned too. Live-edge arithmetic is
+        # bit-identical to the explicit-mask form; the iteration then
+        # touches no per-batch mask array at all.
         vs_edge = jnp.take(vn_state_t, cn_vn_sm, axis=0, mode="clip")
-        cn_active = (cn_state_t != -1)[None, :, :]
-        edge_valid = (
-            (vs_edge == -1) & cn_valid_sm[:, :, None] & cn_active
-        )  # [dc, m_pad, B]
-        # decided VNs' fixed (parity) contribution to each check's syndrome
-        dec_odd = (
-            jnp.sum(
-                ((vs_edge == 1) & cn_valid_sm[:, :, None]).astype(jnp.int32),
-                axis=0,
-            )
-            % 2
-            == 1
-        )  # [m_pad, B]
+        pin_entry = (vs_edge != -1) | ~sv
+        mv_sm = jnp.where(pin_entry, mdt.type(PIN), mv_sm)
+        vn_pin = jnp.where(
+            vn_state_t == 1, mdt.type(-PIN), mdt.type(PIN)
+        )  # [n, B]; only read where vn decided
     else:
-        edge_valid = cn_valid_sm[:, :, None]  # [dc, m_pad, 1] static
-        dec_odd = None
+        vn_pin = None
+    edge_valid = sv  # static; the masked per-batch mask is gone
+    THRESH = mdt.type(PIN_THRESH)
 
     def iteration(mv_sm):
         """One BP iteration. Returns (mv_new, posterior, err_new, conv).
@@ -272,7 +301,8 @@ def bp_run(
             )
         else:
             mc_g = _cn_update_sm(
-                mv_sm, edge_valid, parity, alpha=alpha, clip=clip
+                mv_sm, edge_valid, parity, alpha=alpha, clip=clip,
+                pinned=masked,
             )
         mc_flat = mc_g.reshape(dc * m_pad, B)  # bitcast (m_pad % 32 == 0)
         if posterior_matmul:
@@ -287,28 +317,40 @@ def bp_run(
                 mc_flat, vn_from_cn_sm, axis=0, mode="fill", fill_value=0
             )  # [n, dv, B] mdt; invalid VN slots hit the fill, not a copy
             posterior = prior_t + jnp.sum(mcv, axis=1, dtype=jnp.float32)
-        post_dec = posterior.astype(mdt)
+        post_f = posterior.astype(mdt)
+        # masked mode: decided posteriors pinned to the decided sign —
+        # the hard decision, the per-edge syndrome signs, AND the next
+        # iteration's pinned messages (via post_edge) all inherit the
+        # decided value from this single [n, B] where
+        post_dec = jnp.where(vn_undecided, post_f, vn_pin) if masked else post_f
         post_edge = jnp.take(post_dec, cn_vn_sm, axis=0, mode="clip")
-        mv_new = post_edge - mc_g
+        if masked:
+            # live edges: standard VN update; pinned (|post|=BIG) and
+            # static-invalid edges: re-pinned to +BIG
+            mv_new = jnp.where(
+                edge_valid & (jnp.abs(post_edge) < THRESH),
+                post_edge - mc_g,
+                mdt.type(PIN),
+            )
+        else:
+            mv_new = post_edge - mc_g
 
         # decoded parity per check as a +/-1 product (exact in any float
-        # dtype) — one cheap reduce-multiply instead of an int32 sum
+        # dtype) — one cheap reduce-multiply instead of an int32 sum;
+        # pinned decided posteriors make the product carry the decided
+        # parity with no separate correction term
         hard = post_dec <= 0
         hard_edge_sgn = jnp.where(
             edge_valid & (post_edge <= 0), mdt.type(-1), mdt.type(1)
         )
         synd_odd = jnp.prod(hard_edge_sgn, axis=0) < 0  # [m_pad, B]
-        if masked:
-            err_new = jnp.where(vn_undecided, hard.astype(jnp.int8), vn_state_t)
-            synd_odd = synd_odd ^ dec_odd
-        else:
-            err_new = hard.astype(jnp.int8)
+        err_new = hard.astype(jnp.int8)
         conv = jnp.all(synd_odd == syndrome_odd, axis=0)
         return mv_new, posterior, err_new, conv, synd_odd
 
     def body(with_history):
         def _body(state):
-            i, mv_sm, hist, err, done, iters, sodd = state
+            i, mv_sm, hist, err, done, iters, sodd, _all = state
             mv_new, posterior, err_new, conv, synd_odd = iteration(mv_sm)
             active = ~done  # shots still iterating at the START of this iter
             if freeze_messages:
@@ -328,30 +370,45 @@ def bp_run(
                 sodd = jnp.where(active[None, :], synd_odd, sodd)
             iters = iters + active.astype(jnp.int32)
             done = done | conv
-            return (i + 1, mv_sm, hist, err, done, iters, sodd)
+            # the all-done reduce lives in the BODY (vector core, fused)
+            # and the while cond reads only carried scalars — a vector
+            # reduce in the cond forces a scalar-core SMEM DMA of the
+            # full pred[B] every iteration (~6 ms/copy on the W>=4
+            # ensemble shapes, tools/profile_gdg_w4_step.py)
+            return (i + 1, mv_sm, hist, err, done, iters, sodd, jnp.all(done))
 
         return _body
 
-    def run_span(state, end, with_history):
+    def run_span(state, end, with_history, trips=None):
+        if not early_exit:
+            # fixed-trip fori form: no convergence-dependent trip count
+            # (results identical — the per-row freeze does the masking);
+            # lets XLA schedule across iterations instead of draining at
+            # every all-done check
+            b = body(with_history)
+            return jax.lax.fori_loop(0, trips, lambda _, s: b(s), state)
+
         def cond(state):
-            return (state[0] < end) & ~jnp.all(state[4])
+            return (state[0] < end) & ~state[7]
 
         return jax.lax.while_loop(cond, body(with_history), state)
 
     # rows already done at entry keep the target syndrome (correct: their
     # decoded syndrome matches); rows stepped at least once get the decoded
     # parity of their last executed iteration
-    state = (jnp.int32(0), mv_sm, hist_t, err_t, done, iters, syndrome_odd)
+    state = (jnp.int32(0), mv_sm, hist_t, err_t, done, iters, syndrome_odd,
+             jnp.all(done))
     if history_mode == "tail" and num_iter > 4:
-        state = run_span(state, num_iter - 4, with_history=False)
-        state = run_span(state, num_iter, with_history=True)
+        state = run_span(state, num_iter - 4, with_history=False,
+                         trips=num_iter - 4)
+        state = run_span(state, num_iter, with_history=True, trips=4)
     elif history_mode in ("full", "tail"):
-        state = run_span(state, num_iter, with_history=True)
+        state = run_span(state, num_iter, with_history=True, trips=num_iter)
     elif history_mode == "none":
-        state = run_span(state, num_iter, with_history=False)
+        state = run_span(state, num_iter, with_history=False, trips=num_iter)
     else:
         raise ValueError(f"unknown history_mode {history_mode!r}")
-    _, mv_sm, hist_t, err_t, done, iters, sodd = state
+    _, mv_sm, hist_t, err_t, done, iters, sodd, _ = state
 
     if io_layout == "slot_major":
         out = (mv_sm, hist_t, err_t.T, done, iters)

@@ -147,11 +147,14 @@ def bp4_run(
         return jnp.sum(bits.astype(jnp.int32), axis=1) % 2
 
     def cond(state):
-        i, *_, done, iters = state
-        return (i < num_iter) & ~jnp.all(done)
+        # cond reads only carried scalars; the all-done reduce happens in
+        # the body (a vector reduce here forces a scalar-core SMEM DMA of
+        # pred[B] per iteration, tools/profile_gdg_w4_step.py)
+        i, *_, alldone = state
+        return (i < num_iter) & ~alldone
 
     def body(state):
-        (i, mvx, mvz, lprx, lpry, lprz, ex, ez, done, iters) = state
+        (i, mvx, mvz, lprx, lpry, lprz, ex, ez, done, iters, _ad) = state
         active = ~done
 
         mcx = _cn_minsum_bm(gx_arr, mvx, cnx_t, alpha=alpha, clip=clip)
@@ -205,7 +208,8 @@ def bp4_run(
         )
         iters = iters + active.astype(jnp.int32)
         done = done | conv
-        return (i + 1, mvx, mvz, lprx, lpry, lprz, ex, ez, done, iters)
+        return (i + 1, mvx, mvz, lprx, lpry, lprz, ex, ez, done, iters,
+                jnp.all(done))
 
     zeros_n = jnp.zeros((n, B))
     state = (
@@ -219,9 +223,10 @@ def bp4_run(
         jnp.zeros((n, B), jnp.int8),
         done,
         iters,
+        jnp.all(done),
     )
-    (_, mvx, mvz, lprx, lpry, lprz, ex, ez, done, iters) = jax.lax.while_loop(
-        cond, body, state
+    (_, mvx, mvz, lprx, lpry, lprz, ex, ez, done, iters, _ad) = (
+        jax.lax.while_loop(cond, body, state)
     )
     return (
         mvx,

@@ -108,16 +108,18 @@ def peel(garr, vn_state, cn_state, cn_degree, dead, max_sweeps: int | None = Non
             garr, vn_state, cn_state, cn_degree, dead,
             forced, force1.astype(jnp.int8),
         )
-        changed = jnp.any(forced, axis=-1) & ~dead
-        return vn_state, cn_state, cn_degree, dead, changed
+        # reduce to a SCALAR here (vector core, fused into the sweep):
+        # a vector reduce in the while cond would force a scalar-core
+        # SMEM DMA of the whole pred[B] every sweep
+        more = jnp.any(jnp.any(forced, axis=-1) & ~dead)
+        return vn_state, cn_state, cn_degree, dead, more
 
     def body(state):
         sweeps, inner = state
         return sweeps + 1, sweep(inner)
 
     def cond(state):
-        sweeps, (*_, changed) = state
-        more = jnp.any(changed)
+        sweeps, (*_, more) = state
         if max_sweeps is not None:
             more &= sweeps < max_sweeps
         return more

@@ -170,10 +170,13 @@ def main() -> None:
             "host has 2 physical cores; wall time beyond 2 virtual devices "
             "measures core timesharing. step_time_efficiency is the "
             "cpu-seconds-per-shot ratio vs the 1-device mesh at fixed "
-            "per-device batch: flat (>=0.85) means the sharded program "
-            "does no extra per-device work as the mesh grows, which with "
-            "the structural no-collectives check bounds real-chip weak "
-            "scaling by the final scalar psum only."
+            "per-device batch: >=0.85 means the sharded program adds no "
+            "per-device work as the mesh grows, which with the structural "
+            "no-collectives check bounds real-chip weak scaling by the "
+            "final scalar psum only. Values above 1.0 mean per-shot CPU "
+            "work FELL as the mesh grew: the per-window dispatch/fixed "
+            "cost amortizes over the larger global batch, so the 1-device "
+            "baseline is the pessimistic end, not the sharded meshes."
         ),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
