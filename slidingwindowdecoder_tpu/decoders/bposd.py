@@ -169,9 +169,14 @@ class BPOSD:
             )
         self.llr = np.log((1 - channel_probs) / channel_probs).astype(np.float32)
         self._llr_dev = jnp.asarray(self.llr)
-        # "auto" == "xla" until the Pallas CN kernel is benchmarked on real
-        # TPU (select cn_engine="pallas" explicitly to measure; results are
-        # bit-identical — tests/test_bp_pallas.py)
+        # "auto" == "xla", decided by measurement (docs/pallas_cn_decision
+        # .json): on the bench chip the XLA CN path runs the flagship at
+        # 1788 shots/s while the Pallas kernel FAILS TO COMPILE on the
+        # current libtpu (Mosaic "Invalid relayout ... vector<224x128xi1>"
+        # — a second i1-relayout instance beyond the one fixed in 9ffd9da).
+        # The kernel remains as a documented experiment, bit-identical in
+        # interpret mode (tests/test_bp_pallas.py); revisit if Mosaic's i1
+        # relayout support lands.
         self.cn_engine = "xla" if cn_engine == "auto" else cn_engine
 
         if method is not None:
