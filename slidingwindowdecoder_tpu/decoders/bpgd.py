@@ -100,7 +100,7 @@ def _bpgd_step(garr, llr_b, syndrome, carry, *, num_iter, alpha, clip,
     mv, hist_t, error, bp_done, iters = bp_run(
         garr, mv, llr_b, syndrome, vn_state, cn_state, hist_t, error,
         ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
-        msg_dtype=msg_dtype, io_layout="slot_major",
+        msg_dtype=msg_dtype, io_layout="slot_major", hist_update="slice",
     )
     newly = bp_done & active
     converged = converged | newly

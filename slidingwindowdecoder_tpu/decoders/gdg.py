@@ -325,7 +325,7 @@ def _ensemble_step(
         garr, mv, llr_b, synd, vn_state, cn_state, history, error,
         ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
         msg_dtype=msg_dtype, return_synd=True, io_layout="slot_major",
-        history_mode="tail",
+        history_mode="tail", hist_update="slice",
     )
     newly_conv = bp_done & active
     pm = jnp.sum(llr_b * (error == 1), axis=-1)

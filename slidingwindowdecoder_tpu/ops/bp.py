@@ -59,7 +59,10 @@ BIG = 1e30  # stands in for the reference's 1e308 sentinel (f32-safe)
 # +-PIN; anything past PIN_THRESH is a pin. Strictly above the largest
 # live value the schedule can produce (a one-live-edge check emits a
 # BIG-magnitude message, so live |mv| can reach ~BIG + prior; dv*BIG
-# bounds a live posterior) and exactly representable in bfloat16.
+# bounds a live posterior — ``bp_run`` asserts dv*BIG < PIN_THRESH at
+# trace time) and comparison-consistent after bfloat16 rounding (PIN and
+# PIN_THRESH round to distinct bf16 values that preserve the ordering
+# live < PIN_THRESH <= pin).
 PIN = 1e33
 PIN_THRESH = 1e32
 
@@ -162,6 +165,7 @@ def check_syndrome(garr, error):
         "return_synd",
         "io_layout",
         "early_exit",
+        "hist_update",
     ),
 )
 def bp_run(
@@ -188,6 +192,7 @@ def bp_run(
     return_synd: bool = False,
     io_layout: str = "batch_major",
     early_exit: bool = True,
+    hist_update: str = "masked",
 ):
     """Run up to ``num_iter`` BP iterations with per-shot convergence freeze.
 
@@ -256,6 +261,16 @@ def bp_run(
     syndrome_odd = syndrome_t == 1
     sv = cn_valid_sm[:, :, None]  # [dc, m_pad, 1] static
     if masked:
+        # pin safety: a live posterior is bounded by dv*BIG + prior, which
+        # must stay below PIN_THRESH or live messages would be
+        # misclassified as pins (trace-time check; dv < ~100 in practice)
+        dv_max = int(vn_from_cn_sm.shape[1])
+        assert dv_max * BIG < PIN_THRESH, (
+            f"max VN degree {dv_max} too large for pinned-LLR masking: "
+            f"dv*BIG ({dv_max * BIG:.2e}) must stay below PIN_THRESH "
+            f"({PIN_THRESH:.0e})"
+        )
+    if masked:
         # pinned-LLR masking: instead of reading a per-edge pred
         # [dc, m_pad, B] mask in every pass of every iteration, decided
         # VNs' edges are pinned to +BIG once at burst entry — a +BIG
@@ -307,8 +322,10 @@ def bp_run(
         mc_flat = mc_g.reshape(dc * m_pad, B)  # bitcast (m_pad % 32 == 0)
         if posterior_matmul:
             # per-VN message sum as one MXU matmul against the static 0/1
-            # incidence (decided/invalid edges carry mc == 0, so masking
-            # is already baked into mc_flat)
+            # incidence. Static-invalid slots carry mc == 0; under
+            # pinned-LLR masking a decided VN's edges DO carry nonzero mc,
+            # which is harmless because decided posteriors are overwritten
+            # by vn_pin below before anything reads them
             posterior = prior_t + jnp.dot(
                 garr["vn_inc"], mc_flat, preferred_element_type=jnp.float32
             )
@@ -358,13 +375,31 @@ def bp_run(
             else:
                 mv_sm = mv_new
             if with_history:
-                slot_hot = jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1) == (
-                    i % 4
-                )
-                hist_mask = (active[None, :] & vn_undecided)[:, None, :] & slot_hot
-                hist = jnp.where(
-                    hist_mask, posterior[:, None, :].astype(hist.dtype), hist
-                )
+                if hist_update == "slice":
+                    # write ONLY the [n, 1, B] ring slot (the masked form
+                    # materializes the whole [n, 4, B] ring every
+                    # iteration — the largest single HBM stream of a
+                    # short burst). Valid when downstream reads the
+                    # history only for (still-active rows x undecided
+                    # VNs): frozen rows' messages are frozen, so their
+                    # re-written posterior is the fixed converged value,
+                    # and decided VNs' slots receive raw (unpinned)
+                    # posteriors that no eligible-masked reader sees.
+                    hist = jax.lax.dynamic_update_slice(
+                        hist,
+                        posterior[:, None, :].astype(hist.dtype),
+                        (jnp.int32(0), i % 4, jnp.int32(0)),
+                    )
+                else:
+                    slot_hot = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 4, 1), 1
+                    ) == (i % 4)
+                    hist_mask = (
+                        (active[None, :] & vn_undecided)[:, None, :] & slot_hot
+                    )
+                    hist = jnp.where(
+                        hist_mask, posterior[:, None, :].astype(hist.dtype), hist
+                    )
             err = jnp.where(active[None, :], err_new, err)
             if return_synd:
                 sodd = jnp.where(active[None, :], synd_odd, sodd)

@@ -44,36 +44,38 @@ def _cn_kernel(mv_ref, valid_ref, parity_ref, mc_ref, *, dc, m_pad, alpha,
     dt = mv_ref.dtype
     big = dt.type(_BIG)
 
+    # Mosaic cannot relayout lane-replicated i1 vectors ("Invalid relayout
+    # ... i1" on real TPU, docs/pallas_cn_decision.json): every mask here
+    # is derived from FULL-LANE data (valid_ref is materialized at lane
+    # width by the caller; no in-kernel broadcasts) and boolean state that
+    # crosses an expression boundary is carried as int32 arithmetic.
+
     # pass 1: streaming (min1, min2) + sign accumulation over the dc slots
     min1 = jnp.full((m_pad, Bc), big, dt)
     min2 = jnp.full((m_pad, Bc), big, dt)
     nneg = jnp.zeros((m_pad, Bc), jnp.int32)
     for s in range(dc):
-        v = valid_ref[s, :, :]  # [m_pad, 1] int8 static mask
+        valid = valid_ref[s, :, :] > 0  # [m_pad, Bc] full-lane int8
         mvc = jnp.clip(mv_ref[s, :, :], dt.type(-clip), dt.type(clip))
-        # broadcast the int8 mask to lane width BEFORE comparing: Mosaic
-        # cannot relayout a lane-replicated i1 vector (HTTP-500 "Invalid
-        # relayout ... i1" on real TPU), but int8 broadcasts fine
-        valid = jnp.broadcast_to(v, (m_pad, Bc)) > 0
         a = jnp.where(valid, jnp.abs(mvc), big)
         neg = valid & (mvc <= 0)
-        is_new = a < min1
-        min2 = jnp.where(is_new, min1, jnp.minimum(min2, a))
+        min2 = jnp.where(a < min1, min1, jnp.minimum(min2, a))
         min1 = jnp.minimum(min1, a)
         nneg = nneg + neg.astype(jnp.int32)
 
-    total_odd = ((parity_ref[...] + nneg) % 2) == 1  # [m_pad, Bc]
+    # parity + sign count, kept as int32 (0/1) rather than i1
+    total_odd = (parity_ref[...] + nneg) % 2  # [m_pad, Bc] int32
 
     # pass 2: emit per-slot messages
     for s in range(dc):
-        v = valid_ref[s, :, :]
+        valid = valid_ref[s, :, :] > 0
         mvc = jnp.clip(mv_ref[s, :, :], dt.type(-clip), dt.type(clip))
-        valid = jnp.broadcast_to(v, (m_pad, Bc)) > 0
         a = jnp.where(valid, jnp.abs(mvc), big)
-        neg = valid & (mvc <= 0)
+        neg_i = (valid & (mvc <= 0)).astype(jnp.int32)
         mag = jnp.where(a == min1, min2, min1)
-        flip = total_odd ^ neg
-        mc = dt.type(alpha) * jnp.where(flip, -mag, mag)
+        # sign flip as arithmetic: (-1)^(total_odd ^ neg)
+        sgn = dt.type(1.0) - dt.type(2.0) * (total_odd ^ neg_i).astype(dt)
+        mc = dt.type(alpha) * sgn * mag
         mc_ref[s, :, :] = jnp.where(valid, mc, dt.type(0))
 
 
@@ -91,6 +93,13 @@ def cn_update_pallas(mv_sm, cn_valid_sm, parity, *, alpha: float,
         _cn_kernel, dc=dc, m_pad=m_pad, alpha=float(alpha), clip=float(clip)
     )
     grid = (B // BLOCK_B,)
+    # the static validity mask is materialized at full lane width (int8,
+    # one BLOCK_B-wide block reused by every grid step): in-kernel
+    # broadcasts of [m_pad, 1] masks produce lane-replicated i1 layouts
+    # that Mosaic cannot relayout (docs/pallas_cn_decision.json)
+    valid_block = jnp.broadcast_to(
+        cn_valid_sm.astype(jnp.int8)[:, :, None], (dc, m_pad, BLOCK_B)
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -100,7 +109,8 @@ def cn_update_pallas(mv_sm, cn_valid_sm, parity, *, alpha: float,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (dc, m_pad, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (dc, m_pad, BLOCK_B), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (m_pad, BLOCK_B), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -111,7 +121,7 @@ def cn_update_pallas(mv_sm, cn_valid_sm, parity, *, alpha: float,
         ),
         out_shape=jax.ShapeDtypeStruct((dc, m_pad, B), mv_sm.dtype),
         interpret=interpret,
-    )(mv_sm, cn_valid_sm.astype(jnp.int8)[:, :, None], parity)
+    )(mv_sm, valid_block, parity)
 
 
 def cn_pallas_supported(dc: int, m_pad: int, B: int) -> bool:
@@ -119,4 +129,8 @@ def cn_pallas_supported(dc: int, m_pad: int, B: int) -> bool:
     if B % BLOCK_B:
         return False
     block_bytes = dc * m_pad * BLOCK_B * 4  # f32 worst case
-    return 2 * block_bytes + 4 * m_pad * BLOCK_B * 4 < 12 * 1024 * 1024
+    valid_bytes = dc * m_pad * BLOCK_B  # int8 full-lane mask block
+    return (
+        2 * block_bytes + valid_bytes + 4 * m_pad * BLOCK_B * 4
+        < 12 * 1024 * 1024
+    )
