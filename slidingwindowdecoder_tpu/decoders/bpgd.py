@@ -24,7 +24,7 @@ from .base import DecodeResult, as_batch, pad_pow2
 
 
 @partial(jax.jit, static_argnames=("num_iter", "max_step", "alpha", "clip",
-                                   "msg_dtype"))
+                                   "msg_dtype", "cn_engine"))
 def bpgd_loop(
     garr,
     llr,
@@ -39,6 +39,7 @@ def bpgd_loop(
     alpha: float,
     clip: float,
     msg_dtype: str = "float32",
+    cn_engine: str = "xla",
 ):
     """The guided-decimation step loop with a persistent slot-major BP
     carry: messages stay [dc, m_pad, B] in the message dtype and history
@@ -61,6 +62,7 @@ def bpgd_loop(
         sub = _bpgd_step(
             garr, llr_b, syndrome, carry[1:11], num_iter=num_iter,
             alpha=alpha, clip=clip, msg_dtype=msg_dtype,
+            cn_engine=cn_engine,
         )
         # all-halted reduced to a carried SCALAR in the body: a vector
         # reduce in the while cond forces a scalar-core SMEM DMA of the
@@ -87,7 +89,7 @@ def bpgd_loop(
 
 
 def _bpgd_step(garr, llr_b, syndrome, carry, *, num_iter, alpha, clip,
-               msg_dtype):
+               msg_dtype, cn_engine="xla"):
     """One guided-decimation step (BP burst -> decimate most-reliable ->
     peel) on the slot-major carry. Halted rows are frozen, so running a
     step on a finished row is a no-op — shared by the while-loop and
@@ -101,6 +103,7 @@ def _bpgd_step(garr, llr_b, syndrome, carry, *, num_iter, alpha, clip,
         garr, mv, llr_b, syndrome, vn_state, cn_state, hist_t, error,
         ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
         msg_dtype=msg_dtype, io_layout="slot_major", hist_update="slice",
+        cn_engine=cn_engine,
     )
     newly = bp_done & active
     converged = converged | newly
@@ -139,7 +142,7 @@ def _bpgd_step(garr, llr_b, syndrome, carry, *, num_iter, alpha, clip,
 
 
 @partial(jax.jit, static_argnames=("num_iter", "alpha", "clip", "msg_dtype",
-                                   "spans", "row_bucket"))
+                                   "spans", "row_bucket", "cn_engine"))
 def bpgd_spans(
     garr,
     llr,
@@ -158,6 +161,7 @@ def bpgd_spans(
     error0=None,
     halted0=None,
     converged0=None,
+    cn_engine: str = "xla",
 ):
     """Span-compacted decimation loop: the depth loop is cut into static
     ``spans`` with a row re-compaction between them — halted shots are
@@ -194,7 +198,8 @@ def bpgd_spans(
             def stepB(c):
                 sub = _bpgd_step(
                     garr, llr_b, syndrome, c[1:11], num_iter=num_iter,
-                    alpha=alpha, clip=clip, msg_dtype=msg_dtype)
+                    alpha=alpha, clip=clip, msg_dtype=msg_dtype,
+                    cn_engine=cn_engine)
                 return (c[0] + 1, *sub, jnp.all(sub[7]))
 
             _, *carry = jax.lax.while_loop(
@@ -228,7 +233,8 @@ def bpgd_spans(
             def step1(c):
                 s2 = _bpgd_step(
                     garr, llr_c, synd_c, c[1:11], num_iter=num_iter,
-                    alpha=alpha, clip=clip, msg_dtype=msg_dtype)
+                    alpha=alpha, clip=clip, msg_dtype=msg_dtype,
+                    cn_engine=cn_engine)
                 return (c[0] + 1, *s2, jnp.all(s2[7]))
 
             _, *sub = jax.lax.while_loop(
@@ -295,6 +301,7 @@ class BPGD:
         mode: str = "spans",
         decim_spans=None,
         row_bucket: int = 2048,
+        cn_engine: str = "auto",
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -323,6 +330,7 @@ class BPGD:
                 f"decim_spans must sum to max_step={self.max_step}"
             )
         self.row_bucket = int(row_bucket)
+        self.cn_engine = str(cn_engine)
         self.graph = compile_graph(pcm)
         self.garr = graph_device_arrays(self.graph)
         self.llr = np.log((1 - channel_probs) / channel_probs).astype(np.float32)
@@ -370,6 +378,7 @@ class BPGD:
             num_iter=self.max_iter,
             alpha=self.alpha,
             clip=self.clip,
+            cn_engine=self.cn_engine,
         )
         done = pre["converged"]
         error = pre["error"].astype(jnp.uint8)
@@ -393,6 +402,7 @@ class BPGD:
                 clip=self.clip, msg_dtype=self.msg_dtype,
                 spans=self.decim_spans, row_bucket=self.row_bucket,
                 error0=err0, halted0=done, converged0=done,
+                cn_engine=self.cn_engine,
             )
             return {
                 "error": out["error"],
@@ -428,6 +438,7 @@ class BPGD:
                 alpha=self.gd_factor,
                 clip=self.clip,
                 msg_dtype=self.msg_dtype,
+                cn_engine=self.cn_engine,
             )
             # boundary buckets may straddle converged shots: keep theirs
             done_c = take(done)

@@ -169,15 +169,12 @@ class BPOSD:
             )
         self.llr = np.log((1 - channel_probs) / channel_probs).astype(np.float32)
         self._llr_dev = jnp.asarray(self.llr)
-        # "auto" == "xla", decided by measurement (docs/pallas_cn_decision
-        # .json): on the bench chip the XLA CN path runs the flagship at
-        # 1788 shots/s while the Pallas kernel FAILS TO COMPILE on the
-        # current libtpu (Mosaic "Invalid relayout ... vector<224x128xi1>"
-        # — a second i1-relayout instance beyond the one fixed in 9ffd9da).
-        # The kernel remains as a documented experiment, bit-identical in
-        # interpret mode (tests/test_bp_pallas.py); revisit if Mosaic's i1
-        # relayout support lands.
-        self.cn_engine = "xla" if cn_engine == "auto" else cn_engine
+        # "auto" resolves inside bp_run: the fused Pallas CN kernel when
+        # on a real TPU and the shape fits (round-5 rewrite removed the
+        # Mosaic i1-relayout and int8/bf16-compare failure modes; the
+        # kernel is bit-identical in both dtypes and 1.6-1.9x the XLA CN
+        # stage at the flagship window shape), XLA otherwise.
+        self.cn_engine = cn_engine
 
         if method is not None:
             self.rank = gf2_rank_packed(pcm)

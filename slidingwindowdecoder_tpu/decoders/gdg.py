@@ -41,8 +41,11 @@ from ..ops.bp import (
 from ..ops.decimation import (
     init_decimation_state,
     peel,
+    peel_t,
     unsatisfied_counts,
+    unsatisfied_counts_t,
     vn_set_values,
+    vn_set_values_t,
 )
 from .base import DecodeResult, as_batch, pad_pow2
 
@@ -214,6 +217,80 @@ def _select_and_decimate(
     return vn_state, cn_state, cn_degree, dead, guess_vn, favor, has_neg | has_any
 
 
+def _select_and_decimate_t(
+    garr,
+    hist_stats,  # (hist_min, hist_max, hist_sum, all_neg), each [n, B]
+    synd_t,  # [m_pad, B]
+    vn_t,
+    cn_t,
+    deg_t,
+    dead,
+    active,  # [B]
+    A_row,  # [B]
+    A_sum_row,  # [B]
+    c_allowed,  # [B]
+    *,
+    low_error_mode: bool,
+    vn_deg,
+    synd_hat_t,  # [m_pad, B] decoded syndrome (pad rows match synd_t)
+    scan_rank_t,  # [n, B]
+):
+    """Transposed ``_select_and_decimate`` — the ensemble hot path.
+
+    Identical decision semantics (see the batch-major docstring); every
+    array is batch-minor so the per-row any/min/argmin reductions run
+    along the major axis instead of across lanes (the batch-major form's
+    lane reductions stage through SMEM at ~5.8 ms each on the W>=4
+    ensemble widths, tools/profile_gdg_w4_step.py round 5)."""
+    C_thr, D_thr = 30.0, 3.0
+    n, B = vn_t.shape
+    hist_min, hist_max, hist_sum, all_neg = hist_stats
+    eligible = (vn_t == -1) & (vn_deg[:, None] > 2) & active[None, :]
+
+    if low_error_mode:
+        mC = jnp.zeros_like(eligible)
+        mD = jnp.zeros_like(eligible)
+        mA = jnp.zeros_like(eligible)
+    else:
+        num_flip = unsatisfied_counts_t(garr, synd_hat_t, synd_t, cn_t)
+        mC = eligible & (hist_min >= C_thr) & c_allowed[None, :]
+        mD = eligible & ~mC & (num_flip >= 3) & (hist_min >= D_thr)
+        mA = (
+            eligible
+            & ~mC
+            & ~mD
+            & (hist_max <= A_row[None, :])
+            & (hist_sum < A_sum_row[None, :])
+        )
+    agg = mC | mD | mA
+
+    cand = eligible & ~agg
+    big = jnp.float32(MAX_PM)
+    key_any = jnp.where(cand, hist_sum, big)
+    key_neg = jnp.where(cand & all_neg, hist_sum, big)
+    has_neg = jnp.any(key_neg < big, axis=0)
+    has_any = jnp.any(key_any < big, axis=0)
+    # reliability-order tie-break (see the batch-major form)
+    big_i = jnp.int32(1 << 30)
+    kmin_neg = jnp.min(key_neg, axis=0, keepdims=True)
+    kmin_any = jnp.min(key_any, axis=0, keepdims=True)
+    vn_neg = jnp.argmin(
+        jnp.where(key_neg <= kmin_neg, scan_rank_t, big_i), axis=0
+    )
+    vn_any = jnp.argmin(
+        jnp.where(key_any <= kmin_any, scan_rank_t, big_i), axis=0
+    )
+    guess_vn = jnp.where(has_neg, vn_neg, vn_any).astype(jnp.int32)
+    sum_any = jnp.min(key_any, axis=0)
+    favor = jnp.where(has_neg, jnp.int8(1), (sum_any <= 0.0).astype(jnp.int8))
+
+    vn_t, cn_t, deg_t, dead = vn_set_values_t(
+        garr, vn_t, cn_t, deg_t, dead, agg, mA.astype(jnp.int8)
+    )
+    vn_t, cn_t, deg_t, dead = peel_t(garr, vn_t, cn_t, deg_t, dead)
+    return vn_t, cn_t, deg_t, dead, guess_vn, favor, has_neg | has_any
+
+
 def _hist_stats_bm(history):
     """(min, max, sum, all_neg) from batch-major history [B, n, 4].
     Stats are f32 regardless of the ring's storage dtype."""
@@ -227,15 +304,43 @@ def _hist_stats_bm(history):
 
 
 def _hist_stats_sm(hist_t):
-    """(min, max, sum, all_neg) [B, n] from slot-major history [n, 4, B].
-    Stats are f32 regardless of the ring's storage dtype."""
+    """(min, max, sum, all_neg), each [n, B], from slot-major history
+    [n, 4, B]. Stats are f32 regardless of the ring's storage dtype and
+    stay batch-MINOR (the ensemble's select consumes them transposed)."""
     f32 = lambda x: x.astype(jnp.float32)
     return (
-        f32(jnp.min(hist_t, axis=1)).T,
-        f32(jnp.max(hist_t, axis=1)).T,
-        jnp.sum(hist_t, axis=1, dtype=jnp.float32).T,
-        jnp.all(hist_t <= 0.0, axis=1).T,
+        f32(jnp.min(hist_t, axis=1)),
+        f32(jnp.max(hist_t, axis=1)),
+        jnp.sum(hist_t, axis=1, dtype=jnp.float32),
+        jnp.all(hist_t <= 0.0, axis=1),
     )
+
+
+def tile_branch_tables(tables, BK: int):
+    """Per-ROW branch tables, depth-major: [D_max, BN] slices of the
+    [NB, D_max] per-branch tables tiled over shots (row r is branch
+    r %% NB, matching ``branch_of_row``), plus the [BN] budget.
+
+    Rationale (tools/profile_gdg_w4_step.py, round 5): the step used to
+    look these up as ``A_arr[branch_of_row, d]`` — XLA lowers that
+    [NB, D_max]-source gather with per-row indices to a SCALAR-CORE loop
+    with SMEM staging copies (~5.8 ms per lookup at BN=12032, 4 lookups
+    per step — more than the whole BP burst). A depth-major tiled table
+    turns each lookup into a [1, BN] dynamic row slice: pure vector
+    copies, no gather anywhere."""
+    tile_cols = lambda a: jnp.tile(jnp.asarray(a).T, (1, BK))  # [D_max, BN]
+    return {
+        "flipT": tile_cols(tables["flip_now"]),
+        "reinitT": tile_cols(tables["reinit"]),
+        "AT": tile_cols(tables["A"]),
+        "AsumT": tile_cols(tables["A_sum"]),
+        "budget_row": jnp.tile(jnp.asarray(tables["budget"]), BK),
+    }
+
+
+def _row_at(tT, d):
+    """Row d of a depth-major [D_max, BN] table -> [BN] (static or traced d)."""
+    return jax.lax.dynamic_index_in_dim(tT, d, axis=0, keepdims=False)
 
 
 def _ensemble_init(garr, llr, syndrome, scan_rank, vn_state0, cn_state0,
@@ -250,46 +355,56 @@ def _ensemble_init(garr, llr, syndrome, scan_rank, vn_state0, cn_state0,
     ensemble step (4n vs dc*m_pad slots), so a bfloat16 ring halves it —
     and the per-step bursts skip the entry/exit transposes
     (io_layout="slot_major")."""
-    BK, _ = syndrome.shape
+    BK, m = syndrome.shape
     n = garr["vn_valid"].shape[0]
+    m_pad = garr["cn_vn_sm"].shape[1]
     BN = BK * NB
-    tile = lambda x: jnp.repeat(x, NB, axis=0)  # shot-major [BK*NB, ...]
-    synd = tile(syndrome)
-    rank_b = tile(scan_rank)
-    dead = tile(dead0[:, None])[:, 0]
-    llr_b = jnp.broadcast_to(llr, (BN, n))
+    # transposed state: columns are shot-major (each shot's NB lanes are
+    # consecutive), matching ``branch_of_row = arange(BN) % NB``
+    tile_t = lambda x_t: jnp.repeat(x_t, NB, axis=-1)
+
+    def pad_cn_t(x, fill):
+        x_t = x.T
+        return jnp.pad(
+            x_t, ((0, m_pad - m), (0, 0)), constant_values=fill
+        )
+
+    synd = tile_t(pad_cn_t(syndrome.astype(jnp.int8), 0))  # [m_pad, BN]
+    rank_b = tile_t(scan_rank.T)  # [n, BN]
+    dead = jnp.repeat(dead0, NB, axis=0)
     branch_of_row = jnp.tile(jnp.arange(NB, dtype=jnp.int32), BK)
     mv_sm = bp_init_messages_sm(garr, llr, BN, msg_dtype)
     hist_t = jnp.zeros((n, 4, BN), jnp.dtype(hist_dtype))
-    error = jnp.zeros((BN, n), jnp.int8)
+    error = jnp.zeros((n, BN), jnp.int8)
     iters = jnp.zeros((BN,), jnp.int32)
     carry = (
-        mv_sm, hist_t, error, tile(vn_state0), tile(cn_state0),
-        tile(cn_degree0), dead, dead,  # halted starts as dead
+        mv_sm, hist_t, error, tile_t(vn_state0.T),
+        tile_t(pad_cn_t(cn_state0, -1)),
+        tile_t(pad_cn_t(cn_degree0, 0)),
+        dead, dead,  # halted starts as dead
         jnp.zeros((BN,), bool),
         jnp.full((BN,), MAX_PM, jnp.float32),
-        jnp.zeros((BN, n), jnp.int8),
+        jnp.zeros((n, BN), jnp.int8),
         iters,
     )
-    return carry, synd, llr_b, branch_of_row, rank_b
+    return carry, synd, llr, branch_of_row, rank_b
 
 
 @partial(
     jax.jit,
     static_argnames=("num_iter", "alpha", "clip", "low_error_mode",
-                     "msg_dtype"),
+                     "msg_dtype", "cn_engine"),
 )
 def _ensemble_step(
     garr,
     llr_b,
     synd,
     scan_rank,
-    branch_of_row,
     budget_row,
-    flip_now,
-    reinit_tab,
-    A_arr,
-    Asum_arr,
+    flipT,
+    reinitT,
+    AT,
+    AsumT,
     d,
     carry,
     start_row=None,
@@ -299,6 +414,7 @@ def _ensemble_step(
     clip: float,
     low_error_mode: bool,
     msg_dtype: str,
+    cn_engine: str = "xla",
 ):
     """One ensemble decimation step: masked BP burst, select_vn, decimate,
     peel, side-branch message reinit. Shared by the fused fori/while form
@@ -308,7 +424,7 @@ def _ensemble_step(
     activation depth — frozen before that depth."""
     (mv, history, error, vn_state, cn_state, cn_degree, dead, halted,
      converged, conv_pm, conv_error, iters) = carry
-    BN, n = vn_state.shape
+    n, BN = vn_state.shape
     active = ~halted & (d < budget_row)
     if start_row is not None:
         active = active & (d >= start_row)
@@ -325,19 +441,18 @@ def _ensemble_step(
         garr, mv, llr_b, synd, vn_state, cn_state, history, error,
         ~active, iters, num_iter=num_iter, alpha=alpha, clip=clip,
         msg_dtype=msg_dtype, return_synd=True, io_layout="slot_major",
-        history_mode="tail", hist_update="slice",
+        history_mode="tail", hist_update="slice", cn_engine=cn_engine,
+        state_layout="transposed",
     )
     newly_conv = bp_done & active
-    pm = jnp.sum(llr_b * (error == 1), axis=-1)
+    pm = jnp.sum(llr_b[:, None] * (error == 1), axis=0)
     conv_pm = jnp.where(newly_conv, pm, conv_pm)
-    conv_error = jnp.where(newly_conv[:, None], error, conv_error)
+    conv_error = jnp.where(newly_conv[None, :], error, conv_error)
     converged = converged | newly_conv
     halted = halted | newly_conv
     active = active & ~newly_conv
 
     # --- select_vn: aggressive decimation + guess choice ---------------
-    A = A_arr[branch_of_row, d][:, None]
-    A_sum = Asum_arr[branch_of_row, d]
     (
         vn_state,
         cn_state,
@@ -346,49 +461,48 @@ def _ensemble_step(
         guess_vn,
         favor,
         has_cand,
-    ) = _select_and_decimate(
+    ) = _select_and_decimate_t(
         garr,
         _hist_stats_sm(history),
-        error,
         synd,
         vn_state,
         cn_state,
         cn_degree,
         dead,
         active,
-        A,
-        A_sum,
+        _row_at(AT, d),
+        _row_at(AsumT, d),
         jnp.broadcast_to(d < 4, active.shape),
         low_error_mode=low_error_mode,
         vn_deg=garr["vn_degree"],
-        synd_hat=synd_hat,
-        scan_rank=scan_rank,
+        synd_hat_t=synd_hat,
+        scan_rank_t=scan_rank,
     )
 
     # no candidate -> branch ends (reference guess_vn == -1 break)
     halted = halted | (active & ~has_cand)
 
     # --- decision: favored, possibly flipped for this branch -----------
-    flip = flip_now[branch_of_row, d]
+    flip = _row_at(flipT, d)
     value = (favor ^ flip.astype(jnp.int8)).astype(jnp.int8)
     do_set = active & ~halted & ~dead
     onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (BN, n), 1) == guess_vn[:, None]
-    ) & do_set[:, None]
-    vn_state, cn_state, cn_degree, dead = vn_set_values(
+        jax.lax.broadcasted_iota(jnp.int32, (n, BN), 0) == guess_vn[None, :]
+    ) & do_set[None, :]
+    vn_state, cn_state, cn_degree, dead = vn_set_values_t(
         garr, vn_state, cn_state, cn_degree, dead,
-        onehot, jnp.broadcast_to(value[:, None], (BN, n)),
+        onehot, jnp.broadcast_to(value[None, :], (n, BN)),
     )
-    vn_state, cn_state, cn_degree, dead = peel(
+    vn_state, cn_state, cn_degree, dead = peel_t(
         garr, vn_state, cn_state, cn_degree, dead
     )
     halted = halted | dead
 
     # side branches restart BP messages from the priors at their flip
-    re = reinit_tab[branch_of_row, d] & do_set
+    re = _row_at(reinitT, d) & do_set
     mv = jnp.where(
         re[None, None, :],
-        bp_init_messages_sm(garr, llr_b[0], BN, msg_dtype),
+        bp_init_messages_sm(garr, llr_b, BN, msg_dtype),
         mv,
     )
 
@@ -400,22 +514,28 @@ def _ensemble_step(
 
 @partial(jax.jit, static_argnames=("BK", "NB"))
 def _ensemble_reduce(carry, BK: int, NB: int):
-    """Min-pm argmin over converged branches; main-lane error fallback."""
+    """Min-pm argmin over converged branches; main-lane error fallback.
+    Consumes the transposed carry; returns batch-major outputs."""
     (_, _, error, _, _, _, _, _, converged, conv_pm, conv_error,
      iters) = carry
-    n = error.shape[1]
+    n = error.shape[0]
     conv_pm_b = conv_pm.reshape(BK, NB)
-    conv_err_b = conv_error.reshape(BK, NB, n)
     converged_b = converged.reshape(BK, NB)
     any_conv = jnp.any(converged_b, axis=1)
     best = jnp.argmin(jnp.where(converged_b, conv_pm_b, MAX_PM), axis=1)
-    best_err = jnp.take_along_axis(conv_err_b, best[:, None, None], axis=1)[:, 0]
-    main_err = error.reshape(BK, NB, n)[:, 0]
-    final_err = jnp.where(any_conv[:, None], best_err, main_err)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (BK, NB), 1) == best[:, None]
+    ).astype(jnp.int8)
+    conv_err_r = conv_error.reshape(n, BK, NB)
+    best_err = jnp.sum(
+        conv_err_r * onehot[None, :, :], axis=2, dtype=jnp.int32
+    )  # [n, BK]
+    main_err = error.reshape(n, BK, NB)[:, :, 0].astype(jnp.int32)
+    final_err = jnp.where(any_conv[None, :], best_err, main_err)
     best_pm = jnp.min(jnp.where(converged_b, conv_pm_b, MAX_PM), axis=1)
     total_iters = jnp.sum(iters.reshape(BK, NB), axis=1)
     return {
-        "error": final_err.astype(jnp.uint8),
+        "error": final_err.T.astype(jnp.uint8),
         "converged": any_conv,
         "min_pm": best_pm,
         "iterations": total_iters,
@@ -445,6 +565,7 @@ def gdg_ensemble_hostloop(
     low_error_mode: bool,
     msg_dtype: str = "float32",
     hist_dtype: str = "float32",
+    cn_engine: str = "xla",
 ):
     """Host-stepped branch ensemble: a Python loop over jitted
     ``_ensemble_step`` programs with an all-halted early exit per step.
@@ -459,13 +580,17 @@ def gdg_ensemble_hostloop(
         garr, llr, syndrome, scan_rank, vn_state0, cn_state0, cn_degree0,
         dead0, NB, msg_dtype, hist_dtype
     )
-    budget_row = budget[branch_of_row]
+    tt = tile_branch_tables(
+        {"flip_now": flip_now, "reinit": reinit, "A": A_arr,
+         "A_sum": Asum_arr, "budget": budget}, BK)
+    budget_row = tt["budget_row"]
     for d in range(D_max):
         carry = _ensemble_step(
-            garr, llr_b, synd, rank_b, branch_of_row, budget_row, flip_now,
-            reinit, A_arr, Asum_arr, jnp.int32(d), carry,
+            garr, llr_b, synd, rank_b, budget_row, tt["flipT"],
+            tt["reinitT"], tt["AT"], tt["AsumT"], jnp.int32(d), carry,
             num_iter=num_iter, alpha=alpha, clip=clip,
             low_error_mode=low_error_mode, msg_dtype=msg_dtype,
+            cn_engine=cn_engine,
         )
         # a row is finished when halted (converged / dead / no candidate)
         # OR when its per-branch step budget is exhausted — budget-exhausted
@@ -478,7 +603,7 @@ def gdg_ensemble_hostloop(
 @partial(
     jax.jit,
     static_argnames=("num_iter", "D_max", "NB", "alpha", "clip", "low_error_mode",
-                     "msg_dtype", "hist_dtype", "early_exit"),
+                     "msg_dtype", "hist_dtype", "early_exit", "cn_engine"),
 )
 def gdg_ensemble(
     garr,
@@ -504,6 +629,7 @@ def gdg_ensemble(
     msg_dtype: str = "float32",
     hist_dtype: str = "float32",
     early_exit: bool = False,
+    cn_engine: str = "xla",
 ):
     """Run the branch ensemble; returns per-shot best error / pm / converged."""
     BK, m = syndrome.shape
@@ -511,14 +637,18 @@ def gdg_ensemble(
         garr, llr, syndrome, scan_rank, vn_state0, cn_state0, cn_degree0,
         dead0, NB, msg_dtype, hist_dtype
     )
-    budget_row = budget[branch_of_row]
+    tt = tile_branch_tables(
+        {"flip_now": flip_now, "reinit": reinit, "A": A_arr,
+         "A_sum": Asum_arr, "budget": budget}, BK)
+    budget_row = tt["budget_row"]
 
     step = partial(
         _ensemble_step,
-        garr, llr_b, synd, rank_b, branch_of_row, budget_row, flip_now,
-        reinit, A_arr, Asum_arr,
+        garr, llr_b, synd, rank_b, budget_row, tt["flipT"],
+        tt["reinitT"], tt["AT"], tt["AsumT"],
         num_iter=num_iter, alpha=alpha, clip=clip,
         low_error_mode=low_error_mode, msg_dtype=msg_dtype,
+        cn_engine=cn_engine,
     )
 
     if early_exit:
@@ -553,7 +683,7 @@ def gdg_ensemble(
     jax.jit,
     static_argnames=("num_iter", "NB", "alpha", "clip", "low_error_mode",
                      "msg_dtype", "hist_dtype", "spans", "row_bucket",
-                     "copy_plan"),
+                     "copy_plan", "cn_engine"),
 )
 def gdg_ensemble_spans(
     garr,
@@ -580,6 +710,7 @@ def gdg_ensemble_spans(
     spans: tuple = (),
     row_bucket: int = 2048,
     copy_plan: tuple | None = None,
+    cn_engine: str = "xla",
 ):
     """Span-compacted ensemble: the same ``_ensemble_step`` as the fused
     form, but the depth loop is cut into static ``spans`` with a ROW-level
@@ -599,7 +730,10 @@ def gdg_ensemble_spans(
         garr, llr, syndrome, scan_rank, vn_state0, cn_state0, cn_degree0,
         dead0, NB, msg_dtype, hist_dtype
     )
-    budget_row = budget[branch_of_row]
+    tt = tile_branch_tables(
+        {"flip_now": flip_now, "reinit": reinit, "A": A_arr,
+         "A_sum": Asum_arr, "budget": budget}, BK)
+    budget_row = tt["budget_row"]
     BN = BK * NB
 
     # --- lane dormancy (copy_plan = (copy_at, copy_from) per lane): a
@@ -638,16 +772,16 @@ def gdg_ensemble_spans(
             np.arange(BN),
         ).astype(np.int32)
         perm = jnp.asarray(perm_np)
+        # every multi-dim carry element is batch-MINOR (rows on the lane
+        # axis): permute the trailing axis; [BN] vectors permute directly
         return tuple(
-            a[:, :, perm] if i < 2 else a[perm]
-            for i, a in enumerate(carry)
+            a[..., perm] if a.ndim > 1 else a[perm] for a in carry
         )
     # largest divisor of BN <= row_bucket (gcd under-shoots badly: e.g.
     # gcd(5632, 2048) = 512 where 1408 divides 5632 — 3x the bucket-walk
     # iterations, each paying a full gather/scatter of the row state)
     bucket = next(d for d in range(min(row_bucket, BN), 0, -1) if BN % d == 0)
     n = garr["vn_valid"].shape[0]
-    llr_c = jnp.broadcast_to(llr, (bucket, n))  # rows share the prior
 
     d0 = 0
     for sp in spans:
@@ -657,11 +791,12 @@ def gdg_ensemble_spans(
             # work — run the steps directly, no sort / gather / scatter
             for dd in range(sp):
                 carry = _ensemble_step(
-                    garr, llr_b, synd, rank_b, branch_of_row, budget_row,
-                    flip_now, reinit, A_arr, Asum_arr, jnp.int32(d0 + dd),
-                    carry, start_row, num_iter=num_iter, alpha=alpha,
-                    clip=clip, low_error_mode=low_error_mode,
-                    msg_dtype=msg_dtype,
+                    garr, llr_b, synd, rank_b, budget_row, tt["flipT"],
+                    tt["reinitT"], tt["AT"], tt["AsumT"],
+                    jnp.int32(d0 + dd), carry, start_row,
+                    num_iter=num_iter, alpha=alpha, clip=clip,
+                    low_error_mode=low_error_mode, msg_dtype=msg_dtype,
+                    cn_engine=cn_engine,
                 )
             d0 += sp
             continue
@@ -687,21 +822,28 @@ def gdg_ensemble_spans(
                 t = jnp.moveaxis(a, -1, 0)
                 return jnp.moveaxis(jnp.take(t, idx, axis=0), 0, -1)
 
+            # batch-minor carry: rows live on the trailing (lane) axis of
+            # every multi-dim element; [BN] vectors gather directly
             sub = tuple(
-                take_sm(a) if i < 2 else take(a)
-                for i, a in enumerate(carry)
+                take_sm(a) if a.ndim > 1 else take(a) for a in carry
             )
-            synd_c = take(synd)
-            rank_c = take(rank_b)
-            bor_c = take(branch_of_row)
+            synd_c = take_sm(synd)
+            rank_c = take_sm(rank_b)
             bud_c = take(budget_row)
+            # bucket slices of the depth-major tables, routed through
+            # transposes (lane-axis dynamic gathers are pathological on
+            # this backend; the arrays are small so the copies are cheap)
+            takeT = lambda t: jnp.take(t.T, idx, axis=0).T
+            flipT_c, reinitT_c = takeT(tt["flipT"]), takeT(tt["reinitT"])
+            AT_c, AsumT_c = takeT(tt["AT"]), takeT(tt["AsumT"])
             start_c = take(start_row) if start_row is not None else None
             for dd in range(sp):
                 sub = _ensemble_step(
-                    garr, llr_c, synd_c, rank_c, bor_c, bud_c, flip_now,
-                    reinit, A_arr, Asum_arr, jnp.int32(d0 + dd), sub,
+                    garr, llr_b, synd_c, rank_c, bud_c, flipT_c,
+                    reinitT_c, AT_c, AsumT_c, jnp.int32(d0 + dd), sub,
                     start_c, num_iter=num_iter, alpha=alpha, clip=clip,
                     low_error_mode=low_error_mode, msg_dtype=msg_dtype,
+                    cn_engine=cn_engine,
                 )
             def scatter_sm(a, s):
                 at = jnp.moveaxis(a, -1, 0)
@@ -709,8 +851,8 @@ def gdg_ensemble_spans(
                 return jnp.moveaxis(at.at[idx].set(st), 0, -1)
 
             carry = tuple(
-                scatter_sm(a, s) if i < 2 else a.at[idx].set(s)
-                for i, (a, s) in enumerate(zip(carry, sub))
+                scatter_sm(a, s) if a.ndim > 1 else a.at[idx].set(s)
+                for a, s in zip(carry, sub)
             )
             return (b + 1, carry)
 
@@ -1076,6 +1218,7 @@ class GDG:
         ensemble_mode: str = "fused",
         ensemble_spans=None,
         row_bucket: int = 2048,
+        cn_engine: str = "auto",
     ):
         pcm = np.asarray(pcm)
         self.m, self.n = pcm.shape
@@ -1100,6 +1243,7 @@ class GDG:
             )
         self.ensemble_mode = ensemble_mode
         self.row_bucket = int(row_bucket)
+        self.cn_engine = str(cn_engine)
         self._ensemble_spans = ensemble_spans
         self.max_step = int(max_step)
         self.max_tree_depth = int(max_tree_depth)
@@ -1215,6 +1359,7 @@ class GDG:
                 spans=self.ensemble_spans,
                 row_bucket=self.row_bucket,
                 copy_plan=self._copy_plan,
+                cn_engine=self.cn_engine,
             )
         if self.multi_thread and self.ensemble_mode == "host_loop":
             return gdg_ensemble_hostloop(
@@ -1239,6 +1384,7 @@ class GDG:
                 low_error_mode=self.low_error_mode,
                 msg_dtype=self.msg_dtype,
                 hist_dtype=self.hist_dtype,
+                cn_engine=self.cn_engine,
             )
         if self.multi_thread:
             return gdg_ensemble(
@@ -1264,6 +1410,7 @@ class GDG:
                 msg_dtype=self.msg_dtype,
                 hist_dtype=self.hist_dtype,
                 early_exit=self.ensemble_early_exit,
+                cn_engine=self.cn_engine,
             )
         return gdg_serial(
             self.garr,
@@ -1305,6 +1452,7 @@ class GDG:
             alpha=self.alpha,
             clip=self.clip,
             msg_dtype=self.msg_dtype,
+            cn_engine=self.cn_engine,
         )
         converged = pre["converged"]
         error = pre["error"].astype(jnp.uint8)
@@ -1370,6 +1518,7 @@ class GDG:
             alpha=self.alpha,
             clip=self.clip,
             msg_dtype=self.msg_dtype,
+            cn_engine=self.cn_engine,
         )
         converged = pre["converged"]
         error = pre["error"].astype(jnp.uint8)

@@ -166,6 +166,7 @@ def check_syndrome(garr, error):
         "io_layout",
         "early_exit",
         "hist_update",
+        "state_layout",
     ),
 )
 def bp_run(
@@ -193,6 +194,7 @@ def bp_run(
     io_layout: str = "batch_major",
     early_exit: bool = True,
     hist_update: str = "masked",
+    state_layout: str = "batch_major",
 ):
     """Run up to ``num_iter`` BP iterations with per-shot convergence freeze.
 
@@ -222,13 +224,28 @@ def bp_run(
     four full copies of the two largest arrays per burst and lets a
     bfloat16 message carry stay bfloat16 at rest.
     """
-    B = syndrome.shape[0]
+    transposed = state_layout == "transposed"
+    B = syndrome.shape[-1] if transposed else syndrome.shape[0]
     n = garr["vn_valid"].shape[0]
     m = garr["cn_vn"].shape[0]
     cn_vn_sm = garr["cn_vn_sm"]  # [dc, m_pad]
     cn_valid_sm = garr["cn_valid_sm"]
     vn_from_cn_sm = garr["vn_from_cn_sm"]  # [n, dv]
     dc, m_pad = cn_vn_sm.shape
+
+    if cn_engine == "auto":
+        # fused Pallas CN on real TPU when the shape fits its envelope
+        # (measured 1.6-1.9x the XLA CN stage at the flagship window
+        # shape, bit-identical in both dtypes); XLA elsewhere (CPU tests
+        # run the interpret-mode kernel separately)
+        from .bp_pallas import cn_pallas_supported
+
+        cn_engine = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and cn_pallas_supported(dc, m_pad, B)
+            else "xla"
+        )
 
     mdt = jnp.dtype(msg_dtype)
     prior_llr = jnp.asarray(prior_llr, jnp.float32)
@@ -240,9 +257,19 @@ def bp_run(
     def pad_m(x, fill):
         return jnp.pad(x, ((0, m_pad - m), (0, 0)), constant_values=fill)
 
-    syndrome_t = pad_m(syndrome.astype(jnp.int32).T, 0)  # [m_pad, B]
-    cn_state_t = pad_m(cn_state.astype(jnp.int32).T, -1)
-    vn_state_t = vn_state.T  # [n, B]
+    if transposed:
+        # state_layout="transposed": syndrome/cn_state arrive [m_pad, B]
+        # (pad rows 0 / -1), vn_state/error arrive [n, B] — the ensemble
+        # carry layouts — skipping every entry/exit transpose
+        syndrome_t = syndrome.astype(jnp.int32)
+        cn_state_t = cn_state.astype(jnp.int32)
+        vn_state_t = vn_state
+        err_t = error
+    else:
+        syndrome_t = pad_m(syndrome.astype(jnp.int32).T, 0)  # [m_pad, B]
+        cn_state_t = pad_m(cn_state.astype(jnp.int32).T, -1)
+        vn_state_t = vn_state.T  # [n, B]
+        err_t = error.T
     parity = jnp.maximum(cn_state_t, 0)
 
     if io_layout == "slot_major":
@@ -254,7 +281,6 @@ def bp_run(
             jnp.transpose(mv, (2, 1, 0)), ((0, 0), (0, m_pad - m), (0, 0))
         ).astype(mdt)
         hist_t = jnp.transpose(history, (1, 2, 0))  # [n, 4, B]
-    err_t = error.T
     vn_undecided = vn_state_t == -1
 
     # ---- loop-invariant edge masks ------------------------------------------
@@ -306,13 +332,12 @@ def bp_run(
         the per-VN error and the per-edge syndrome check never disagree.
         """
         if cn_engine in ("pallas", "pallas_interpret"):
-            if masked:
-                raise ValueError("cn_engine='pallas' requires masked=False")
             from .bp_pallas import cn_update_pallas
 
             mc_g = cn_update_pallas(
                 mv_sm, cn_valid_sm, parity, alpha=alpha, clip=clip,
                 interpret=cn_engine == "pallas_interpret",
+                pinned=masked,
             )
         else:
             mc_g = _cn_update_sm(
@@ -445,19 +470,24 @@ def bp_run(
         raise ValueError(f"unknown history_mode {history_mode!r}")
     _, mv_sm, hist_t, err_t, done, iters, sodd, _ = state
 
+    err_out = err_t if transposed else err_t.T
     if io_layout == "slot_major":
-        out = (mv_sm, hist_t, err_t.T, done, iters)
+        out = (mv_sm, hist_t, err_out, done, iters)
     else:
         mv_out = jnp.transpose(mv_sm[:, :m, :], (2, 1, 0)).astype(jnp.float32)
         out = (
             mv_out,
             jnp.transpose(hist_t, (2, 0, 1)),
-            err_t.T,
+            err_out,
             done,
             iters,
         )
     if return_synd:
-        return out + (sodd[:m].T.astype(jnp.int8),)
+        synd_out = (
+            sodd.astype(jnp.int8) if transposed  # [m_pad, B], pad rows 0
+            else sodd[:m].T.astype(jnp.int8)
+        )
+        return out + (synd_out,)
     return out
 
 
@@ -486,6 +516,7 @@ def decode_bp(
     masked: bool | None = None,
     freeze_messages: bool = True,
     history_mode: str = "full",
+    cn_engine: str = "xla",
 ):
     """Plain batched BP decode from scratch.
 
@@ -520,6 +551,7 @@ def decode_bp(
         masked=masked,
         freeze_messages=freeze_messages,
         history_mode=history_mode,
+        cn_engine=cn_engine,
     )
     return {
         "error": error,

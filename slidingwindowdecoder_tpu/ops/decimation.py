@@ -131,6 +131,148 @@ def peel(garr, vn_state, cn_state, cn_degree, dead, max_sweeps: int | None = Non
     return vn_state, cn_state, cn_degree, dead
 
 
+# ---------------------------------------------------------------------------
+# Transposed (batch-minor) variants — the ensemble hot path.
+#
+# The batch-major forms above put the shot/row axis on the TPU's MAJOR
+# dimension, which makes every per-row reduction (`jnp.any(..., axis=-1)`,
+# conflict checks, peel fixpoint tests) a cross-LANE reduce; XLA stages
+# each one through SMEM with ~5.8 ms scalar-core copies at the W>=4
+# ensemble widths (tools/profile_gdg_w4_step.py round 5 — those copies
+# outweighed the whole BP burst). The _t forms keep every array
+# batch-MINOR ([n, B] / [m_pad, B]) so per-row reductions run along
+# sublanes and the edge gathers run along the major axis, like the BP
+# kernel itself.
+#
+# Layout contract: vn arrays [n, B]; cn arrays [m_pad, B] with the pad
+# rows inert (state -1, degree 0) — reductions over cn_vn_sm's dummy
+# index n and vn_cn's dummy index m read zero rows by construction.
+# ---------------------------------------------------------------------------
+
+
+def init_decimation_state_t(garr, syndrome_t):
+    """Fresh transposed state from a [m, B] (or [m_pad, B]) syndrome."""
+    B = syndrome_t.shape[-1]
+    n = garr["vn_valid"].shape[0]
+    m = garr["cn_vn"].shape[0]
+    m_pad = garr["cn_vn_sm"].shape[1]
+    vn_t = jnp.full((n, B), -1, jnp.int8)
+    cn_t = jnp.full((m_pad, B), -1, jnp.int8)
+    cn_t = cn_t.at[:m].set(syndrome_t[:m].astype(jnp.int8))
+    deg_t = jnp.zeros((m_pad, B), jnp.int32)
+    deg_t = deg_t.at[:m].set(
+        jnp.broadcast_to(garr["cn_degree"][:, None], (m, B))
+    )
+    dead = jnp.zeros((B,), bool)
+    return vn_t, cn_t, deg_t, dead
+
+
+def _gather_vn_to_cn(garr, x_t, fill_row=None):
+    """[n, B] VN-side array -> [dc, m_pad, B] per-CN-slot array via the
+    slot-major table (major-axis gather; dummy index n reads the fill)."""
+    B = x_t.shape[-1]
+    if fill_row is None:
+        fill_row = jnp.zeros((1, B), x_t.dtype)
+    src = jnp.concatenate([x_t, fill_row], axis=0)  # [n+1, B]
+    dc, m_pad = garr["cn_vn_sm"].shape
+    out = jnp.take(src, garr["cn_vn_sm"].reshape(-1), axis=0)
+    return out.reshape(dc, m_pad, B)
+
+
+def _gather_cn_to_vn(garr, x_t, fill_row=None):
+    """[m_pad, B] CN-side array -> [n, dv, B] per-VN-slot array via the
+    vn_cn table (dummy index m reads an inert row)."""
+    m = garr["cn_vn"].shape[0]
+    m_pad, B = x_t.shape
+    if m == m_pad:
+        if fill_row is None:
+            fill_row = jnp.zeros((1, B), x_t.dtype)
+        src = jnp.concatenate([x_t, fill_row], axis=0)
+    else:
+        src = x_t  # index m hits an inert pad row
+    n, dv = garr["vn_cn"].shape
+    out = jnp.take(src, garr["vn_cn"].reshape(-1), axis=0)
+    return out.reshape(n, dv, B)
+
+
+def vn_set_values_t(garr, vn_t, cn_t, deg_t, dead, set_mask_t, values_t):
+    """Transposed ``vn_set_values``: set_mask_t/values_t are [n, B]."""
+    values_t = values_t.astype(jnp.int8)
+    already = set_mask_t & (vn_t != -1)
+    conflict = already & (vn_t != values_t)
+    dead = dead | jnp.any(conflict, axis=0)
+    newly = set_mask_t & (vn_t == -1)
+    vn_t = jnp.where(newly, values_t, vn_t)
+
+    enc = newly.astype(jnp.int8) + (newly & (values_t == 1)).astype(jnp.int8)
+    enc_e = _gather_vn_to_cn(garr, enc)  # [dc, m_pad, B] int8
+
+    active = cn_t != -1
+    # int8 accumulators: dc <= 127 so the counts fit, and XLA fuses the
+    # reduction into the gather instead of materializing s32 edge arrays
+    # (the int32 form wrote two full [dc*m_pad, B] s32 tensors per call,
+    # ~1.9 GB each at the W>=4 ensemble widths)
+    delta8 = jnp.sum(
+        (enc_e != 0).astype(jnp.int8), axis=0, dtype=jnp.int8
+    )  # [m_pad, B]
+    pflip = jnp.sum(
+        (enc_e == 2).astype(jnp.int8), axis=0, dtype=jnp.int8
+    ) & jnp.int8(1)
+    delta = delta8.astype(jnp.int32)
+    new_deg = deg_t - delta
+    new_par = jnp.where(active, cn_t ^ pflip, cn_t)
+    hit_zero = active & (new_deg == 0) & (delta > 0)
+    contradiction = hit_zero & (new_par == 1)
+    dead = dead | jnp.any(contradiction, axis=0)
+    cn_t = jnp.where(hit_zero & (new_par == 0), jnp.int8(-1), new_par)
+    return vn_t, cn_t, new_deg, dead
+
+
+def peel_t(garr, vn_t, cn_t, deg_t, dead, max_sweeps: int | None = None):
+    """Transposed ``peel``: degree-1 forcing to a fixpoint."""
+
+    def sweep(state):
+        vn_t, cn_t, deg_t, dead, _ = state
+        deg1 = (cn_t != -1) & (deg_t == 1)
+        code = deg1.astype(jnp.int8) + (deg1 & (cn_t == 1)).astype(jnp.int8)
+        code_e = _gather_cn_to_vn(garr, code)  # [n, dv, B]
+        undecided = (vn_t == -1)[:, None, :]
+        force1 = jnp.any((code_e == 2) & undecided, axis=1)
+        force0 = jnp.any((code_e == 1) & undecided, axis=1)
+        dead = dead | jnp.any(force0 & force1, axis=0)
+        forced = (force0 ^ force1) & (vn_t == -1)
+        vn_t, cn_t, deg_t, dead = vn_set_values_t(
+            garr, vn_t, cn_t, deg_t, dead, forced, force1.astype(jnp.int8)
+        )
+        more = jnp.any(jnp.any(forced, axis=0) & ~dead)
+        return vn_t, cn_t, deg_t, dead, more
+
+    def body(state):
+        sweeps, inner = state
+        return sweeps + 1, sweep(inner)
+
+    def cond(state):
+        sweeps, (*_, more) = state
+        if max_sweeps is not None:
+            more &= sweeps < max_sweeps
+        return more
+
+    init = (jnp.int32(1), sweep((vn_t, cn_t, deg_t, dead, None)))
+    _, (vn_t, cn_t, deg_t, dead, _) = jax.lax.while_loop(cond, body, init)
+    return vn_t, cn_t, deg_t, dead
+
+
+def unsatisfied_counts_t(garr, synd_hat_t, syndrome_t, cn_t):
+    """Transposed ``num_flip``: synd_hat_t/syndrome_t [m_pad, B] (pad rows
+    equal), cn_t [m_pad, B]; returns [n, B] int32."""
+    unsat = (
+        (synd_hat_t.astype(jnp.int32) != syndrome_t.astype(jnp.int32))
+        & (cn_t != -1)
+    ).astype(jnp.int8)
+    unsat_e = _gather_cn_to_vn(garr, unsat)  # [n, dv, B]
+    return jnp.sum(unsat_e, axis=1, dtype=jnp.int8).astype(jnp.int32)
+
+
 def unsatisfied_counts(garr, error, syndrome, cn_state, synd_hat=None):
     """Per-VN count of adjacent active checks whose decoded syndrome bit
     disagrees with the target (``num_flip`` in bpgd.cpp:296-309).

@@ -80,18 +80,62 @@ def test_bp_run_cn_engine_equivalence(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_cn_engine_requires_unmasked(rng):
+def test_cn_engine_masked_pinned(rng):
+    """Masked (pinned-LLR) BP through the Pallas CN kernel is
+    bit-identical to the XLA masked path — the decimation decoders'
+    configuration (round 5 lifted the unmasked-only restriction)."""
     H = _random_graph(rng)
     g = compile_graph(H)
     garr = graph_device_arrays(g)
     B, n = 128, H.shape[1]
-    prior = np.ones(n, np.float32)
-    synds = jnp.zeros((B, H.shape[0]), jnp.uint8)
-    mv = bp_init_messages(garr, prior, B)
-    history, error, done, iters = fresh_bp_state(garr, B)
-    with pytest.raises(ValueError):
-        bp_run(
-            garr, mv, prior, synds, jnp.full((B, n), -1, jnp.int8),
-            synds.astype(jnp.int8), history, error, done, iters,
-            num_iter=2, masked=True, cn_engine="pallas_interpret",
+    prior = rng.uniform(0.5, 4.0, n).astype(np.float32)
+    synds = jnp.asarray(rng.integers(0, 2, (B, H.shape[0])), jnp.uint8)
+    # decide a third of the VNs (mix of 0/1) as guided decimation would
+    vs = rng.integers(-1, 2, (B, n)).astype(np.int8)
+    vs[:, : n // 3] = -1
+    vn_state = jnp.asarray(np.where(vs > 0, 1, np.where(vs == 0, 0, -1)),
+                           jnp.int8)
+    cn_state = synds.astype(jnp.int8)
+
+    outs = {}
+    for eng in ("xla", "pallas_interpret"):
+        mv = bp_init_messages(garr, prior, B)
+        history, error, done, iters = fresh_bp_state(garr, B)
+        outs[eng] = bp_run(
+            garr, mv, prior, synds, vn_state, cn_state, history, error,
+            done, iters, num_iter=8, alpha=0.625, clip=50.0, masked=True,
+            cn_engine=eng,
         )
+    # the CN kernel itself is bit-identical (see the unmasked test and
+    # the direct pinned comparison below), but the two engines' whole
+    # iterations differ by XLA fusion: with the XLA CN in-graph, the VN
+    # update contracts `post_edge - alpha*mag` into an FMA (one
+    # rounding); a custom call is opaque to contraction. Decisions and
+    # convergence agree on this seed; messages/history agree to
+    # reassociation tolerance.
+    xo, po = outs["xla"], outs["pallas_interpret"]
+    np.testing.assert_array_equal(np.asarray(xo[2]), np.asarray(po[2]))
+    np.testing.assert_array_equal(np.asarray(xo[3]), np.asarray(po[3]))
+    np.testing.assert_array_equal(np.asarray(xo[4]), np.asarray(po[4]))
+    np.testing.assert_allclose(
+        np.asarray(xo[0]), np.asarray(po[0]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(xo[1]), np.asarray(po[1]), rtol=1e-4, atol=1e-4
+    )
+
+    # direct pinned CN-stage comparison: exactly equal
+    from slidingwindowdecoder_tpu.ops.bp import PIN, _cn_update_sm
+    from slidingwindowdecoder_tpu.ops.bp_pallas import cn_update_pallas
+
+    dc, m_pad = g.dc, g.m_pad
+    mv_sm = rng.standard_normal((dc, m_pad, B)).astype(np.float32) * 3
+    pin = rng.random((dc, m_pad, B)) < 0.3
+    mv_sm = jnp.asarray(np.where(pin, np.float32(PIN), mv_sm))
+    valid = jnp.asarray(g.cn_valid_sm)
+    parity = jnp.asarray(rng.integers(0, 2, (m_pad, B)), jnp.int32)
+    out = cn_update_pallas(mv_sm, valid, parity, alpha=0.625, clip=50.0,
+                           interpret=True, pinned=True)
+    ref = _cn_update_sm(mv_sm, valid[:, :, None], parity, alpha=0.625,
+                        clip=50.0, pinned=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -71,7 +71,10 @@ def main():
         garr, llr, synds, order, vn0, cn0, cd0, dead0, dec.NB,
         args.dtype, args.dtype,
     )
-    budget_row = dec._tables["budget"][branch_of_row]
+    tt = G.tile_branch_tables(
+        {k: dec._tables[k] for k in
+         ("flip_now", "reinit", "A", "A_sum", "budget")}, args.shots)
+    budget_row = tt["budget_row"]
     BN = synd.shape[0]
     print(f"BN {BN}, mv {carry[0].shape} {carry[0].dtype}, "
           f"hist {carry[1].shape} {carry[1].dtype}", flush=True)
@@ -83,12 +86,11 @@ def main():
     T = dec._tables
 
     @jax.jit
-    def full(c, llr_b, synd, order_b, branch_of_row, budget_row):
+    def full(c, llr_b, synd, order_b, tt):
         return G._ensemble_step(
-            garr, llr_b, synd, order_b, branch_of_row, budget_row,
-            T["flip_now"], T["reinit"], T["A"], T["A_sum"], d, c, None, **kw)
-    t_full = bench("full step", full, carry, llr_b, synd, order_b,
-                   branch_of_row, budget_row)
+            garr, llr_b, synd, order_b, tt["budget_row"], tt["flipT"],
+            tt["reinitT"], tt["AT"], tt["AsumT"], d, c, None, **kw)
+    t_full = bench("full step", full, carry, llr_b, synd, order_b, tt)
 
     @jax.jit
     def bponly(c, llr_b, synd):
@@ -111,8 +113,8 @@ def main():
     @jax.jit
     def sel(history, error, synd_hat, vn_state, cn_state, cn_degree, dead,
             synd, active, branch_of_row, order_b):
-        A = T["A"][branch_of_row, 5][:, None]
-        A_sum = T["A_sum"][branch_of_row, 5]
+        A = G._row_at(tt["AT"], 5)[:, None]
+        A_sum = G._row_at(tt["AsumT"], 5)
         return G._select_and_decimate(
             garr, G._hist_stats_sm(history), error, synd, vn_state,
             cn_state, cn_degree, dead, active, A, A_sum,

@@ -73,13 +73,16 @@ def main():
               msg_dtype=dec.msg_dtype)
 
     if args.what == "step":
+        tt = G.tile_branch_tables(
+            {k: T[k] for k in ("flip_now", "reinit", "A", "A_sum", "budget")},
+            args.shots)
+
         @jax.jit
-        def fn(c, llr_b, synd, order_b, branch_of_row, budget_row):
+        def fn(c, llr_b, synd, order_b, tt):
             return G._ensemble_step(
-                garr, llr_b, synd, order_b, branch_of_row, budget_row,
-                T["flip_now"], T["reinit"], T["A"], T["A_sum"], d, c, None,
-                **kw)
-        fargs = (carry, llr_b, synd, order_b, branch_of_row, budget_row)
+                garr, llr_b, synd, order_b, tt["budget_row"], tt["flipT"],
+                tt["reinitT"], tt["AT"], tt["AsumT"], d, c, None, **kw)
+        fargs = (carry, llr_b, synd, order_b, tt)
     elif args.what == "bp":
         @jax.jit
         def fn(c, llr_b, synd):
@@ -90,23 +93,27 @@ def main():
                 halted, c[11], num_iter=dec.num_iter_per_step,
                 alpha=dec.gdg_factor, clip=dec.clip, msg_dtype=dec.msg_dtype,
                 return_synd=True, io_layout="slot_major",
-                history_mode="tail")
+                history_mode="tail", hist_update="slice",
+                state_layout="transposed")
         fargs = (carry, llr_b, synd)
     else:
+        tt = G.tile_branch_tables(
+            {k: T[k] for k in ("flip_now", "reinit", "A", "A_sum", "budget")},
+            args.shots)
+
         @jax.jit
-        def fn(c, llr_b, synd, order_b, branch_of_row):
+        def fn(c, synd, order_b, tt):
             (mv, history, error, vn_state, cn_state, cn_degree, dead,
              halted, *_r) = c
-            A = T["A"][branch_of_row, 5][:, None]
-            A_sum = T["A_sum"][branch_of_row, 5]
-            return G._select_and_decimate(
-                garr, G._hist_stats_sm(history), error, synd, vn_state,
-                cn_state, cn_degree, dead, ~halted, A, A_sum,
+            return G._select_and_decimate_t(
+                garr, G._hist_stats_sm(history), synd, vn_state,
+                cn_state, cn_degree, dead, ~halted,
+                G._row_at(tt["AT"], 5), G._row_at(tt["AsumT"], 5),
                 jnp.broadcast_to(False, halted.shape),
                 low_error_mode=dec.low_error_mode,
-                vn_deg=garr["vn_degree"], synd_hat=synd,
-                scan_rank=order_b)
-        fargs = (carry, llr_b, synd, order_b, branch_of_row)
+                vn_deg=garr["vn_degree"], synd_hat_t=synd,
+                scan_rank_t=order_b)
+        fargs = (carry, synd, order_b, tt)
 
     out = jax.block_until_ready(fn(*fargs))
     tdir = tempfile.mkdtemp(prefix="w4step_")
