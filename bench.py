@@ -96,22 +96,40 @@ def main() -> None:
     rng = np.random.default_rng(args.seed)
     det, obs, _ = sample_dem_numpy(dem, shots, rng)
 
+    # round-2 sweep winner `spans_48_136_b1024` (tracked summary:
+    # docs/bench_r2_spans_sweep.json): phase-A 16, phase-B spans
+    # (48, 136) over 1024-buckets, OSD bucket 256
+    # (1814.8 shots/s vs 1760.5 at bp_bucket=2048). For a non-default
+    # --max-iter the phase-B spans adapt: 48-iteration spans + remainder.
+    if args.smoke:
+        phase_a, spans = None, None
+    else:
+        phase_a = 16
+        it_b = max_iter - phase_a
+        if it_b <= 0:
+            phase_a, spans = None, None
+        elif max_iter == 200:
+            spans = (48, 136)  # the sweep-winning schedule
+        else:
+            spans, left = [], it_b
+            while left > 56:
+                spans.append(48)
+                left -= 48
+            spans.append(left)
+            spans = tuple(spans)
+
     factory = CachingDecoderFactory(
         lambda spec: BPOSD(
             spec.mat,
             spec.prior,
             max_iter=max_iter,
             ms_scaling_factor=1.0,
-            # round-2 sweep winner `spans_48_136_b1024` (tracked summary:
-            # docs/bench_r2_spans_sweep.json): phase-A 16, phase-B spans
-            # (48, 136) over 1024-buckets, OSD bucket 256
-            # (1814.8 shots/s vs 1760.5 at bp_bucket=2048)
             osd_method="osd_cs",
             osd_order=osd_order,
             bp_bucket=1024,
             osd_bucket=256,
-            phase_a_iters=None if args.smoke else 16,
-            phase_b_spans=None if args.smoke else (48, 136),
+            phase_a_iters=phase_a,
+            phase_b_spans=spans,
             msg_dtype="bfloat16",
             cn_engine=args.cn_engine,
         )

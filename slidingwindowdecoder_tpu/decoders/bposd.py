@@ -230,14 +230,10 @@ class BPOSD:
             return jnp.sum(history, axis=-1)
         return history[..., (total_iters - 1) % 4]
 
-    def core(self, synds):
-        """Pure device-side decode: traceable under jit / shard_map.
-
-        ``synds``: [B, m] uint8/bool. Returns dict of device arrays: error
-        [B, n] uint8, converged [B] bool, iterations [B] int32, min_pm [B]
-        f32, osd_applied [B] bool. Contains no host syncs; per-shot results
-        do not depend on B or on the other shots in the batch.
-        """
+    def _core_bp(self, synds):
+        """Phases A+B (no OSD): pure, traced. Returns (error, done, iters,
+        min_pm, rel) — ``rel`` is the OSD reliability ordering key, or
+        None when OSD is off."""
         B = synds.shape[0]
         n = self.n
         m = self.m
@@ -309,13 +305,38 @@ class BPOSD:
         min_pm = jnp.sum(
             jnp.where(error == 1, self._llr_dev[None, :], 0.0), axis=-1
         )
-        osd_applied = jnp.zeros((B,), bool)
-
         if osd_on:
             # posterior slots: non-converged shots' histories were last
             # written by their final BP call
             last_iters = it_b if it_b > 0 else it_a
             rel = self._reliability(history, last_iters)
+        else:
+            rel = None
+        return synds, error, done, iters, min_pm, rel
+
+    def core(self, synds):
+        """Pure device-side decode: traceable under jit / shard_map.
+
+        ``synds``: [B, m] uint8/bool. Returns dict of device arrays: error
+        [B, n] uint8, converged [B] bool, iterations [B] int32, min_pm [B]
+        f32, osd_applied [B] bool. Contains no host syncs; per-shot results
+        do not depend on B or on the other shots in the batch.
+
+        NOTE (round 5): when this whole computation compiles as ONE
+        program, XLA stages the OSD elimination state through scoped-vmem
+        async copies at ~100x the cost of the standalone OSD program (the
+        eager-composed form runs the same osd_decode at 0.3 ms per
+        256-bucket vs 32 ms fused — tools/ probes). Single-device entry
+        points therefore use ``decode_batch_device`` (host-staged OSD);
+        ``core`` remains the pure form for shard_map/multi-chip use.
+        """
+        B = synds.shape[0]
+        m, n = self.m, self.n
+        osd_on = self.osd_method is not None
+        synds, error, done, iters, min_pm, rel = self._core_bp(synds)
+        osd_applied = jnp.zeros((B,), bool)
+
+        if osd_on:
             obucket = _divisor_bucket(B, self.osd_bucket)
             order2 = jnp.argsort(done.astype(jnp.int32), stable=True).astype(
                 jnp.int32
@@ -362,9 +383,54 @@ class BPOSD:
             "osd_applied": osd_applied,
         }
 
-    def decode_batch_device(self, synds):
-        """Jitted ``core``: one device program per batch shape, no host syncs."""
-        return self._core_jit(synds)
+    def decode_batch_device(self, synds, *, osd_stage: str = "fused"):
+        """Jitted ``core`` (default). ``osd_stage="host"`` instead runs
+        the jitted BP phases + a host-staged OSD loop of standalone
+        programs — useful for diagnosing compiled-OSD regressions (the
+        round-5 sortless OSD made the fused form fast; before it, the
+        fused OSD paid ~10x its standalone cost in scoped-vmem staging).
+        Results are bit-identical between the two stagings.
+        """
+        if self.osd_method is None or osd_stage == "fused":
+            return self._core_jit(synds)
+        if not hasattr(self, "_bp_core_jit"):
+            self._bp_core_jit = jax.jit(self._core_bp)
+        synds_d, error, done, iters, min_pm, rel = self._bp_core_jit(synds)
+        done_h = np.asarray(done)  # the one host sync
+        todo = np.nonzero(~done_h)[0]
+        B = synds_d.shape[0]
+        obucket = min(self.osd_bucket, max(32, len(todo)))
+        for lo in range(0, len(todo), obucket):
+            chunk = todo[lo : lo + obucket]
+            g = np.full(obucket, int(chunk[0]), np.int32)
+            g[: len(chunk)] = chunk
+            scat = np.full(obucket, B, np.int32)  # out-of-range pad: dropped
+            scat[: len(chunk)] = chunk
+            g_idx, s_idx = jnp.asarray(g), jnp.asarray(scat)
+            osd = osd_decode(
+                self.H_words,
+                jnp.take(synds_d, g_idx, axis=0),
+                jnp.take(rel, g_idx, axis=0),
+                self._llr_dev,
+                self.patterns,
+                m=self.m,
+                n=self.n,
+                rank=self.rank,
+                k=self.k,
+                meta=self._osd_meta,
+                engine=self.gj_engine,
+            )
+            error = error.at[s_idx].set(
+                osd["solution"].astype(jnp.uint8), mode="drop"
+            )
+            min_pm = min_pm.at[s_idx].set(osd["min_pm"], mode="drop")
+        return {
+            "error": error,
+            "converged": done,
+            "iterations": iters,
+            "min_pm": min_pm,
+            "osd_applied": ~done,
+        }
 
     # -- host API ------------------------------------------------------------
 

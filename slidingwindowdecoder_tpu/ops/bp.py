@@ -243,7 +243,7 @@ def bp_run(
         cn_engine = (
             "pallas"
             if jax.default_backend() == "tpu"
-            and cn_pallas_supported(dc, m_pad, B)
+            and cn_pallas_supported(dc, m_pad, B, jnp.dtype(msg_dtype).itemsize)
             else "xla"
         )
 

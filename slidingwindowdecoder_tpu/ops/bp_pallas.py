@@ -147,11 +147,16 @@ def cn_update_pallas(mv_sm, cn_valid_sm, parity, *, alpha: float,
     )(mv_sm, cn_valid_sm.astype(jnp.float32)[:, :, None], parity)
 
 
-def cn_pallas_supported(dc: int, m_pad: int, B: int) -> bool:
-    """Shape gate: lane-multiple batch and VMEM fit (two blocks + temps)."""
+def cn_pallas_supported(dc: int, m_pad: int, B: int,
+                        itemsize: int = 4) -> bool:
+    """Shape gate: lane-multiple batch and VMEM fit (two blocks + temps).
+
+    ``itemsize``: message dtype bytes (2 for bf16 — halves the block, so
+    bf16 admits graphs up to ~2x the f32 envelope, e.g. the [[144]]
+    global 936-row DEM)."""
     if B % BLOCK_B:
         return False
-    block_bytes = dc * m_pad * BLOCK_B * 4  # f32 worst case
+    block_bytes = dc * m_pad * BLOCK_B * itemsize
     # in+out double-buffered (4x block) + temps, against the 64 MB scoped
     # vmem limit the kernel requests (with headroom)
     return 4 * block_bytes + 8 * m_pad * BLOCK_B * 4 < 56 * 1024 * 1024

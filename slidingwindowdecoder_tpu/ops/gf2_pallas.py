@@ -217,7 +217,7 @@ def ordered_gauss_jordan_pallas(
         "osd0": osd0,
         "piv_col": piv_col.T,
         "piv_row": piv_row.T,
-        "reduced_bm": state[:, :W, :],
+        "reduced_wm": jnp.transpose(state[:, :W, :], (1, 0, 2)),
         "synd_bits": synd_bits.T,
         "sol_bits": jnp.transpose(sol_bits).astype(jnp.uint8),
         "inconsistent": incons[0, :B] > 0,

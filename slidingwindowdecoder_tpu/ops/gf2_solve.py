@@ -120,8 +120,10 @@ def ordered_gauss_jordan(H_words, syndrome, order, *, m: int, n: int, rank: int)
 
     Returns dict (batch-major views for consumers):
       osd0 [B, n] uint8; piv_col / piv_row [B, rank] int32;
-      reduced_bm [m, W, B] packed final rows; sol_bits [B, rank];
-      inconsistent [B] bool (syndrome outside the pivot span).
+      reduced_wm [W, m, B] packed final rows (word-major, so the sweeps'
+      per-word slices are leading-axis — keeping them cheap regardless of
+      the layout XLA picks when the GJ fuses into a larger program);
+      sol_bits [B, rank]; inconsistent [B] bool.
     """
     B = syndrome.shape[0]
     W = H_words.shape[1]
@@ -197,7 +199,7 @@ def ordered_gauss_jordan(H_words, syndrome, order, *, m: int, n: int, rank: int)
         "osd0": osd0,
         "piv_col": piv_col.T,
         "piv_row": piv_row.T,
-        "reduced_bm": state_rows[:, :W, :],
+        "reduced_wm": jnp.transpose(state_rows[:, :W, :], (1, 0, 2)),
         "synd_bits": synd_bits.T,
         "sol_bits": jnp.transpose(sol_bits).astype(jnp.uint8),
         "inconsistent": inconsistent,
@@ -207,6 +209,92 @@ def ordered_gauss_jordan(H_words, syndrome, order, *, m: int, n: int, rank: int)
 # ---------------------------------------------------------------------------
 # OSD-E / OSD-CS candidate sweep
 # ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("m", "n", "rank"))
+def ordered_gauss_jordan_key(H_words, syndrome, key, *, m: int, n: int,
+                             rank: int):
+    """``ordered_gauss_jordan`` with FLOAT reliability keys, no sort.
+
+    ``key`` [B, n] float32, smaller = more-likely-in-error = tried first.
+    Pivot selection = per-lane argmin of the key over live columns; on
+    exactly equal keys argmin takes the lower column id — identical to
+    the stable-argsort rank order the integer form consumes. Keeping the
+    sort OUT of this program matters: a sort fused into the same XLA
+    module as the elimination fori makes the compiler stage the loop
+    carry through scoped-vmem copies at ~1 ms per staged buffer (the
+    whole fused-OSD slowdown of rounds <=4; tools probes, round 5).
+    """
+    B = syndrome.shape[0]
+    W = H_words.shape[1]
+
+    rows = jnp.broadcast_to(H_words[:, :, None].astype(_U32), (m, W, B))
+    swords = syndrome.astype(_U32).T[:, None, :]  # [m, 1, B]
+    state_rows = jnp.concatenate([rows, swords], axis=1)  # [m, W+1, B]
+    unused = jnp.ones((m, B), dtype=bool)
+    piv_col = jnp.full((rank, B), -1, jnp.int32)
+    piv_row = jnp.full((rank, B), -1, jnp.int32)
+    key_t = key.astype(jnp.float32).T  # [n, B]
+
+    inf = jnp.float32(np.inf)
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (m, B), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+    shifts = jax.lax.broadcasted_iota(_U32, (W, _W, B), 1)
+
+    def body(r, carry):
+        state_rows, unused, piv_col, piv_row = carry
+        mat = state_rows[:, :W, :]
+        masked = jnp.where(unused[:, None, :], mat, _U32(0))
+        live_words = jax.lax.reduce(
+            masked, _U32(0), jax.lax.bitwise_or, dimensions=(0,)
+        )  # [W, B]
+        live_bits = ((live_words[:, None, :] >> shifts) & _U32(1)).reshape(
+            W * _W, B
+        )[:n]
+        keyed = jnp.where(live_bits > 0, key_t, inf)
+        jstar = jnp.argmin(keyed, axis=0).astype(jnp.int32)  # [B]
+
+        word_hot = (iota_w == (jstar // _W)[None, :]).astype(_U32)  # [W, B]
+        colw = jnp.sum(mat * word_hot[None, :, :], axis=1)  # [m, B]
+        colbits = ((colw >> (jstar % _W).astype(_U32)[None, :]) & _U32(1)) > 0
+
+        istar = jnp.argmin(
+            jnp.where(colbits & unused, iota_m, jnp.int32(m + 1)), axis=0
+        ).astype(jnp.int32)  # [B]
+        row_hot = (iota_m == istar[None, :]).astype(_U32)  # [m, B]
+        prow = jnp.sum(state_rows * row_hot[:, None, :], axis=0)  # [W+1, B]
+
+        sel = colbits & (iota_m != istar[None, :])
+        state_rows = state_rows ^ (sel[:, None, :].astype(_U32) * prow[None, :, :])
+
+        unused = unused & (iota_m != istar[None, :])
+        piv_col = jax.lax.dynamic_update_slice(piv_col, jstar[None, :], (r, 0))
+        piv_row = jax.lax.dynamic_update_slice(piv_row, istar[None, :], (r, 0))
+        return state_rows, unused, piv_col, piv_row
+
+    state_rows, unused, piv_col, piv_row = jax.lax.fori_loop(
+        0, rank, body, (state_rows, unused, piv_col, piv_row)
+    )
+
+    synd_bits = (state_rows[:, W, :] & _U32(1)).astype(jnp.int32)  # [m, B]
+    sol_bits = jnp.take_along_axis(synd_bits, piv_row, axis=0)  # [rank, B]
+    lane = jnp.arange(B)[None, :]
+    osd0 = (
+        jnp.zeros((n, B), jnp.uint8)
+        .at[piv_col, lane]
+        .set(sol_bits.astype(jnp.uint8))
+        .T
+    )
+    inconsistent = jnp.any((synd_bits == 1) & unused, axis=0)
+    return {
+        "osd0": osd0,
+        "piv_col": piv_col.T,
+        "piv_row": piv_row.T,
+        "reduced_wm": jnp.transpose(state_rows[:, :W, :], (1, 0, 2)),
+        "synd_bits": synd_bits.T,
+        "sol_bits": jnp.transpose(sol_bits).astype(jnp.uint8),
+        "inconsistent": inconsistent,
+    }
 
 
 def osd_candidate_patterns(k: int, order: int, method: str) -> np.ndarray:
@@ -299,40 +387,42 @@ def _ht_cols(gj, rank_order_cols, k):
     return inv[:, :k]
 
 
-def _extract_bitcols(reduced_bm, col_ids_bm):
+def _extract_bitcols(reduced_wm, col_ids_bm):
     """Bits of per-shot columns from packed rows, without lane gathers.
 
-    reduced_bm: [m, W, B]; col_ids_bm: [T, B] per-lane column ids.
+    reduced_wm: [W, m, B]; col_ids_bm: [T, B] per-lane column ids.
     Returns [T, m, B] float32 bits — one-hot word selection + per-lane shift.
     """
-    m, W, B = reduced_bm.shape
+    W, m, B = reduced_wm.shape
     T = col_ids_bm.shape[0]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)  # [W, 1]
     cols = []
     for t in range(T):
         cid = col_ids_bm[t]  # [B]
         word_hot = (iota_w == (cid // _W)[None, :]).astype(_U32)  # [W, B]
-        colw = jnp.sum(reduced_bm * word_hot[None, :, :], axis=1)  # [m, B]
+        colw = jnp.sum(reduced_wm * word_hot[:, None, :], axis=0)  # [m, B]
         bits = (colw >> (cid % _W).astype(_U32)[None, :]) & _U32(1)
         cols.append(bits.astype(jnp.float32))
     return jnp.stack(cols)  # [T, m, B]
 
 
-def _weighted_bit_sums(reduced_bm, w_rows, n):
+def _weighted_bit_sums(reduced_wm, w_rows, n):
     """a_all[j, b] = sum_i bit(row i, col j) * w_rows[i, b], for all columns.
 
     One pass per packed word (static unroll, W ~ tens): unpack [m, 32, B]
     bits and contract the row axis. Total work m*n*B multiply-adds with no
     gathers and no [.., n] materialization beyond the [n, B] result.
     """
-    m, W, B = reduced_bm.shape
+    W, m, B = reduced_wm.shape
     shifts = jnp.arange(_W, dtype=_U32)[None, :, None]  # [1, 32, 1]
-    hi = jax.lax.Precision.HIGHEST
     chunks = []
     for w_idx in range(W):
-        word = reduced_bm[:, w_idx, :]  # [m, B]
+        word = reduced_wm[w_idx]  # [m, B] — leading-axis slice
         bits = ((word[:, None, :] >> shifts) & _U32(1)).astype(jnp.float32)
-        chunks.append(jnp.einsum("msb,mb->sb", bits, w_rows, precision=hi))
+        # elementwise multiply + reduce over the MAJOR (m) axis: fuses
+        # into one VPU pass per word. (The einsum form lowers to per-lane
+        # batched matvecs — ~100x slower on this backend; round 5.)
+        chunks.append(jnp.sum(bits * w_rows[:, None, :], axis=0))
     return jnp.concatenate(chunks, axis=0)[:n]  # [n, B]
 
 
@@ -350,8 +440,8 @@ def _osd_sweep_cs(gj, rank_order_cols, channel_llr, pair_i, pair_j, *, k, order_
     osd0 = gj["osd0"]
     B, n = osd0.shape
     R = gj["piv_col"].shape[1]
-    reduced = gj["reduced_bm"]  # [m, W, B]
-    m = reduced.shape[0]
+    reduced = gj["reduced_wm"]  # [W, m, B]
+    m = reduced.shape[1]
     piv_col_bm = gj["piv_col"].T  # [R, B]
     piv_row_bm = gj["piv_row"].T
     sol_bm = gj["sol_bits"].T.astype(jnp.float32)  # [R, B]
@@ -384,8 +474,13 @@ def _osd_sweep_cs(gj, rank_order_cols, channel_llr, pair_i, pair_j, *, k, order_
                 for t in range(order_w)
             ]
         )  # [ord, R, B]
-        gram = jnp.einsum("irb,jrb,rb->ijb", coords_sub, coords_sub, w,
-                          precision=hi)  # [ord, ord, B]
+        # elementwise broadcast + reduce over R (second-minor axis): the
+        # einsum form lowers to per-lane batched contractions (see
+        # _weighted_bit_sums)
+        cw = coords_sub * w[None, :, :]  # [ord, R, B]
+        gram = jnp.sum(
+            coords_sub[:, None, :, :] * cw[None, :, :, :], axis=2
+        )  # [ord, ord, B]
         pm_w2 = (
             pm0[None, :]
             + a[pair_i] + a[pair_j]
@@ -423,13 +518,126 @@ def _osd_sweep_cs(gj, rank_order_cols, channel_llr, pair_i, pair_j, *, k, order_
     return solution, min_pm
 
 
+@partial(jax.jit, static_argnames=("order_w",))
+def _osd_sweep_cs_sortless(gj, rel, channel_llr, pair_i, pair_j, *, order_w):
+    """OSD-CS sweep without any sort in the program.
+
+    The weight-1 candidate set is ALL non-pivot columns (identical to the
+    reliability-ordered first-k list: there are exactly k = n - rank of
+    them), evaluated masked over the full column axis; the weight-2 pair
+    set needs only the ``order_w`` most unreliable non-pivot columns,
+    found by ``order_w`` iterated masked argmins (exact, and ties resolve
+    to the lower column id — the stable-argsort order). Results match
+    ``_osd_sweep_cs`` except which of several exactly-equal-pm candidates
+    wins (measure-zero float ties).
+
+    Keeping sorts out of the module is what makes the FUSED form fast:
+    see ``ordered_gauss_jordan_key``'s docstring.
+    """
+    osd0 = gj["osd0"]
+    B, n = osd0.shape
+    reduced = gj["reduced_wm"]  # [W, m, B]
+    m = reduced.shape[1]
+    piv_col_bm = gj["piv_col"].T  # [R, B]
+    piv_row_bm = gj["piv_row"].T
+    sol_bm = gj["sol_bits"].T.astype(jnp.float32)  # [R, B]
+    lane = jnp.arange(B)[None, :]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)
+    inf = jnp.float32(np.inf)
+
+    llr = channel_llr.astype(jnp.float32)
+    llr_bm = (
+        jnp.broadcast_to(llr[:, None], (n, B)) if llr.ndim == 1 else llr.T
+    )
+    pm0 = jnp.sum(jnp.where(osd0.T == 1, llr_bm, 0.0), axis=0)  # [B]
+
+    llr_piv = jnp.take_along_axis(llr_bm, piv_col_bm, axis=0)  # [R, B]
+    w = llr_piv * (1.0 - 2.0 * sol_bm)
+    w_rows = jnp.zeros((m, B), jnp.float32).at[piv_row_bm, lane].set(w)
+
+    a_all = _weighted_bit_sums(reduced, w_rows, n)  # [n, B]
+
+    nonpiv = jnp.ones((n, B), bool).at[piv_col_bm, lane].set(False)
+    pm_w1 = jnp.where(nonpiv, pm0[None, :] + a_all + llr_bm, inf)  # [n, B]
+    best1_col = jnp.argmin(pm_w1, axis=0).astype(jnp.int32)  # [B]
+    best1_pm = jnp.min(pm_w1, axis=0)
+
+    rel_t = rel.astype(jnp.float32).T  # [n, B]
+    P = pair_i.shape[0]
+    if P:
+        # order_w most unreliable non-pivot columns, in reliability order
+        keyr = jnp.where(nonpiv, rel_t, inf)
+        tops = []
+        for _ in range(order_w):
+            tid = jnp.argmin(keyr, axis=0).astype(jnp.int32)  # [B]
+            tops.append(tid)
+            keyr = jnp.where(iota_n == tid[None, :], inf, keyr)
+        top_ids = jnp.stack(tops)  # [order_w, B]
+
+        a_top = jnp.take_along_axis(a_all, top_ids, axis=0)  # [ow, B]
+        llr_top = jnp.take_along_axis(llr_bm, top_ids, axis=0)
+        sub_cols = _extract_bitcols(reduced, top_ids)  # [ow, m, B]
+        coords_sub = jnp.stack(
+            [
+                jnp.take_along_axis(sub_cols[t], piv_row_bm, axis=0)
+                for t in range(order_w)
+            ]
+        )  # [ow, R, B]
+        cw = coords_sub * w[None, :, :]  # [ow, R, B]
+        gram = jnp.sum(
+            coords_sub[:, None, :, :] * cw[None, :, :, :], axis=2
+        )  # [ow, ow, B]
+        pm_w2 = (
+            pm0[None, :]
+            + a_top[pair_i] + a_top[pair_j]
+            - 2.0 * gram[pair_i, pair_j]
+            + llr_top[pair_i] + llr_top[pair_j]
+        )  # [P, B]
+        best2_idx = jnp.argmin(pm_w2, axis=0).astype(jnp.int32)
+        best2_pm = jnp.min(pm_w2, axis=0)
+    else:
+        best2_idx = jnp.zeros((B,), jnp.int32)
+        best2_pm = jnp.full((B,), inf)
+
+    is_pair = best2_pm < best1_pm
+    best_pm = jnp.minimum(best1_pm, best2_pm)
+    use_cand = best_pm < pm0
+
+    if P:
+        c1 = jnp.where(
+            is_pair,
+            jnp.take_along_axis(
+                top_ids, pair_i[best2_idx][None, :], axis=0
+            )[0],
+            best1_col,
+        )
+        c2 = jnp.take_along_axis(top_ids, pair_j[best2_idx][None, :], axis=0)[0]
+    else:
+        c1, c2 = best1_col, jnp.zeros((B,), jnp.int32)
+
+    win_cols = _extract_bitcols(reduced, jnp.stack([c1, c2]))  # [2, m, B]
+    f1 = jnp.take_along_axis(win_cols[0], piv_row_bm, axis=0)
+    f2 = jnp.take_along_axis(win_cols[1], piv_row_bm, axis=0)
+    flip = jnp.mod(f1 + jnp.where(is_pair[None, :], f2, 0.0), 2.0)
+    y = jnp.mod(sol_bm + flip, 2.0)  # [R, B]
+
+    out = jnp.zeros((n + 1, B), jnp.uint8)
+    out = out.at[piv_col_bm, lane].set(y.astype(jnp.uint8))
+    out = out.at[c1[None, :], lane].set(jnp.uint8(1))
+    c2_or_pad = jnp.where(is_pair, c2, n)  # pad row swallows non-pairs
+    out = out.at[c2_or_pad[None, :], lane].set(jnp.uint8(1))
+    solution = jnp.where(use_cand[:, None], out[:n].T, osd0)
+    min_pm = jnp.minimum(pm0, best_pm)
+    return solution, min_pm
+
+
 @partial(jax.jit, static_argnames=("k", "supp"))
 def _osd_sweep_dense(gj, rank_order_cols, channel_llr, patterns, *, k, supp):
     """Generic small-support sweep (OSD-E): dense over the support prefix."""
     hi = jax.lax.Precision.HIGHEST
     osd0 = gj["osd0"]
     B, n = osd0.shape
-    reduced = gj["reduced_bm"]
+    reduced = gj["reduced_wm"]
     piv_col_bm = gj["piv_col"].T
     piv_row_bm = gj["piv_row"].T
     sol_bm = gj["sol_bits"].T.astype(jnp.float32)
@@ -504,6 +712,29 @@ def osd_decode(
     (the Pallas kernel keeps the packed state VMEM-resident; results are
     bit-identical).
     """
+    if meta is None:
+        meta = analyze_patterns(np.asarray(patterns), k)
+
+    if meta["kind"] == "cs" and k > 0 and engine == "xla":
+        # sortless fast path: float-key pivoting + masked all-column
+        # sweep — no argsort anywhere in the module, so the fused form
+        # (inside a decoder core / window step) compiles without the
+        # scoped-vmem staging that cost ~30 ms per 256-bucket
+        gj = ordered_gauss_jordan_key(
+            H_words, syndrome, reliability, m=m, n=n, rank=rank
+        )
+        pi, pj = jnp.asarray(meta["pair_i"]), jnp.asarray(meta["pair_j"])
+        order_w = int(meta["order_w"])
+        solution, min_pm = _osd_sweep_cs_sortless(
+            gj, reliability, channel_llr, pi, pj, order_w=order_w
+        )
+        return {
+            "solution": solution,
+            "osd0": gj["osd0"],
+            "min_pm": min_pm,
+            "inconsistent": gj["inconsistent"],
+        }
+
     order = jnp.argsort(reliability, axis=1, stable=True).astype(jnp.int32)
     if engine in ("pallas", "pallas_interpret"):
         from .gf2_pallas import ordered_gauss_jordan_pallas
@@ -515,8 +746,6 @@ def osd_decode(
     else:
         gj = ordered_gauss_jordan(H_words, syndrome, order, m=m, n=n, rank=rank)
 
-    if meta is None:
-        meta = analyze_patterns(np.asarray(patterns), k)
     if meta["kind"] == "none" or k == 0:
         llr = channel_llr.astype(jnp.float32)
         if llr.ndim == 1:

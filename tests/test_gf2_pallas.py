@@ -24,7 +24,7 @@ KEYS = [
     "osd0",
     "piv_col",
     "piv_row",
-    "reduced_bm",
+    "reduced_wm",
     "synd_bits",
     "sol_bits",
     "inconsistent",
