@@ -291,6 +291,7 @@ def sliding_window_gdg(
     ensemble_spans=None,
     msg_dtype: str = "float32",
     hist_dtype: str = "float32",
+    cn_engine: str = "auto",
     seed: int | None = None,
     verbose: bool = True,
 ):
@@ -331,6 +332,7 @@ def sliding_window_gdg(
             ensemble_spans=ensemble_spans,
             msg_dtype=msg_dtype,
             hist_dtype=hist_dtype,
+            cn_engine=cn_engine,
         )
 
     factory = CachingDecoderFactory(build)

@@ -237,12 +237,18 @@ def bp_run(
         # fused Pallas CN on real TPU when the shape fits its envelope
         # (measured 1.6-1.9x the XLA CN stage at the flagship window
         # shape, bit-identical in both dtypes); XLA elsewhere (CPU tests
-        # run the interpret-mode kernel separately)
+        # run the interpret-mode kernel separately). The MASKED
+        # (pinned-LLR) variant is correct in interpret mode and compiles
+        # on-chip, but its execution faults the TPU worker on the [[288]]
+        # W=4 ensemble graphs (round-5 A/B: gdg-288-41 crashes with
+        # pallas, completes with xla) — auto therefore only selects
+        # pallas on the unmasked path; pass cn_engine="pallas" to force.
         from .bp_pallas import cn_pallas_supported
 
         cn_engine = (
             "pallas"
-            if jax.default_backend() == "tpu"
+            if not masked
+            and jax.default_backend() == "tpu"
             and cn_pallas_supported(dc, m_pad, B, jnp.dtype(msg_dtype).itemsize)
             else "xla"
         )

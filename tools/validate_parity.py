@@ -102,6 +102,8 @@ def run_gdg(name, shots, seed, *, N, p, r, W, F, max_iter=200,
     # gate below validates each row); SWD_GDG_F32=1 restores f32
     dtype_kw = {} if os.environ.get("SWD_GDG_F32") else dict(
         msg_dtype="bfloat16", hist_dtype="bfloat16")
+    if os.environ.get("SWD_GDG_CN"):
+        dtype_kw["cn_engine"] = os.environ["SWD_GDG_CN"]
     res = sliding_window_gdg(
         N=N, p=p, num_repeat=r, num_shots=shots, max_iter=max_iter, W=W, F=F,
         last_win_osd=last_win_osd, low_error_mode=low_error_mode, seed=seed,
