@@ -91,7 +91,13 @@ def compile_graph(H: np.ndarray) -> TannerGraph:
     vn_from_cn = np.full(n * dv, m * dc, dtype=np.int32)
     vn_from_cn[vn_flat] = cn_flat
 
-    m_pad = -(-m // 32) * 32
+    # at least ONE inert pad row beyond m: the transposed decimation ops
+    # gather CN-side arrays through ``vn_cn``'s dummy index m, and on the
+    # real TPU a gather from an odd-height concat source ([m_pad+1, B]
+    # when m == m_pad) faults the worker on the [[288]]-family graphs
+    # (round 5) — guaranteeing m < m_pad keeps every gather source at
+    # the tile-aligned [m_pad, B] shape
+    m_pad = -(-(m + 1) // 32) * 32
     cn_vn_sm = np.full((dc, m_pad), n, dtype=np.int32)
     cn_vn_sm[:, :m] = cn_vn.T
     cn_valid_sm = np.zeros((dc, m_pad), dtype=bool)

@@ -245,9 +245,15 @@ def bp_run(
         # pallas on the unmasked path; pass cn_engine="pallas" to force.
         from .bp_pallas import cn_pallas_supported
 
+        # A second fault class appeared on the [[288]]-family graphs
+        # (m_pad 576/864) even unmasked, so auto further restricts to
+        # the hardware-validated envelope m_pad <= 384 (the [[144]]
+        # window family the bench exercises end-to-end). Forcing
+        # cn_engine="pallas" bypasses both gates.
         cn_engine = (
             "pallas"
             if not masked
+            and m_pad <= 384
             and jax.default_backend() == "tpu"
             and cn_pallas_supported(dc, m_pad, B, jnp.dtype(msg_dtype).itemsize)
             else "xla"

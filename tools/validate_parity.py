@@ -314,8 +314,10 @@ CONFIGS = {
     # SW GDG.ipynb cell f83f0070 p=0.005 line: max_iter=16, max_step=60,
     # tree 4 / side 20, side_branch_step 40 (and guessing.py:105 passes
     # max_tree_branch_step=max_side_branch_step), low_error_mode False.
+    # 4096-shot default: the [[288]] W=4 ensemble state at 8192 shots
+    # exceeds the chip (TPU worker crash, round 5)
     "gdg-288-41": lambda shots, seed: run_gdg(
-        "gdg-288-41", shots or 8192, seed, N=288, p=0.005, r=18, W=4, F=1,
+        "gdg-288-41", shots or 4096, seed, N=288, p=0.005, r=18, W=4, F=1,
         max_iter=16,
         gdg_kwargs=dict(max_step=60, max_tree_depth=4, max_side_depth=20,
                         max_tree_branch_step=40, max_side_branch_step=40),
@@ -332,7 +334,7 @@ CONFIGS = {
     # BASELINE row 14: [[288]] W=4 r=6 p=0.005 GDG vs +last-window OSD.
     # Cell ccb3047b: same ensemble params as f83f0070's p=0.005 line.
     "gdg-last-osd": lambda shots, seed: run_gdg(
-        "gdg-last-osd", shots or 8192, seed, N=288, p=0.005, r=6, W=4, F=1,
+        "gdg-last-osd", shots or 4096, seed, N=288, p=0.005, r=6, W=4, F=1,
         max_iter=16, last_win_osd=True,
         gdg_kwargs=dict(max_step=60, max_tree_depth=4, max_side_depth=20,
                         max_tree_branch_step=40, max_side_branch_step=40),
